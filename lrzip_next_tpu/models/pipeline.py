@@ -1,0 +1,358 @@
+"""Archive pipeline: compress_file / decompress_file equivalents.
+
+Mirrors the reference orchestration layer (src/lrzip.c:1464-1591
+``compress_file``, 1596-1810 ``decompress_file``) and the per-chunk codec
+drivers (src/rzip.c:922-1264 ``rzip_fd``, src/runzip.c:261-502
+``runzip_fd``), restructured for batch execution:
+
+- the rzip matcher runs as an array pipeline (TPU via lrzip_next_tpu.ops,
+  or the numpy host path) instead of a byte-at-a-time scan;
+- backend block compression is block-parallel over a thread pool (the
+  reference's P1 compthread pool, src/stream.c:1550-1834) or sharded
+  over a device mesh (lrzip_next_tpu.parallel);
+- block linked-list offsets are computed by prefix sum and written in one
+  pass instead of seek-back patching (src/stream.c:1772-1783).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+from typing import BinaryIO, Callable, List, Optional, Tuple
+
+import numpy as np
+
+from ..backends import BackendConfig, compress_block, ctype_for_method, \
+    decompress_block
+from ..format import constants as C
+from ..format.container import Block, ChunkReader, read_chunk_header, \
+    write_chunk
+from ..format.magic import MagicHeader
+from ..format.tokens import decode_token_stream, encode_token_stream, \
+    replay_tokens, split_long_runs
+from ..utils.hashing import ArchiveHash, stored_crc_int
+from ..ops.filters import apply_filter, undo_filter
+from . import rzip_host
+
+
+@dataclasses.dataclass
+class Settings:
+    """User-facing compression settings (the rzip_control analogue,
+    reference src/include/lrzip_private.h:472-581)."""
+
+    method: str = "lzma"           # lzma|gzip|bzip2|zstd|lzo|zpaq|bzip3|none
+    compression_level: int = 7
+    rzip_level: int = -1           # -1: follow compression_level (main.c:787)
+    hash_name: str = "MD5"
+    window: int = 0                # -w N: chunk = N * 100MB
+    unlimited: bool = False        # -U
+    threads: int = 0               # 0 = cpu count
+    block_size: int = C.STREAM_BUFSIZE
+    max_chunk: int = 0             # explicit chunk cap (testing / RAM plan)
+    comment: bytes = b""
+    filter_flag: int = 0           # FILTER_* BCJ code or FILTER_DELTA
+    delta_offset: int = 1
+    dict_size: int = 0             # lzma dictionary (0 = default by level)
+    zstd_level: int = 0            # 0 = derive from compression_level
+    zpaq_level: int = 0
+    zpaq_bs: int = 6
+    bzip3_bs: int = 4
+    use_tpu: bool = False          # rzip matcher on TPU (ops pipeline)
+    lz4_test: bool = True          # compressibility gate before backends
+    threshold: int = 100
+
+    def resolved_threads(self) -> int:
+        return self.threads or os.cpu_count() or 1
+
+    def resolved_rzip_level(self) -> int:
+        return self.compression_level if self.rzip_level < 0 \
+            else self.rzip_level
+
+    def resolved_dict_size(self) -> int:
+        if self.dict_size:
+            return self.dict_size
+        # reference default: dictSize from level (util.c setup via LzmaEncProps)
+        return 1 << min(24 + max(0, self.compression_level - 5), 27)
+
+    def resolved_zstd(self) -> Tuple[int, int]:
+        lvl = min(max(self.compression_level, 1), 9)
+        return (self.zstd_level or C.ZSTD_LEVEL_FROM_LRZIP_LEVEL[lvl],
+                C.ZSTD_STRATEGY_FROM_LRZIP_LEVEL[lvl])
+
+
+def _magic_for(settings: Settings, expected_size: int,
+               eof_known: bool) -> MagicHeader:
+    h = MagicHeader(expected_size=expected_size, eof_known=eof_known,
+                    hash_code=C.HASH_CODE[settings.hash_name.upper()],
+                    rzip_level=settings.resolved_rzip_level(),
+                    compression_level=settings.compression_level,
+                    comment=settings.comment,
+                    filter_flag=settings.filter_flag,
+                    delta_offset=settings.delta_offset)
+    m = settings.method
+    if m == "lzma":
+        h.method_code = C.MAGIC_CTYPE_LZMA
+        h.lzma_dict_size = settings.resolved_dict_size()
+    elif m == "zpaq":
+        h.method_code = C.MAGIC_CTYPE_ZPAQ
+        h.zpaq_level = settings.zpaq_level or 4
+        h.zpaq_bs = settings.zpaq_bs
+    elif m == "bzip3":
+        h.method_code = C.MAGIC_CTYPE_BZIP3
+        h.bzip3_bs = settings.bzip3_bs
+    elif m == "zstd":
+        h.zstd_level, h.zstd_strategy = settings.resolved_zstd()
+        h.method_code = C.MAGIC_CTYPE_ZSTD
+    return h
+
+
+def _backend_cfg(settings: Settings) -> BackendConfig:
+    zl, zs = settings.resolved_zstd()
+    return BackendConfig(
+        compression_level=settings.compression_level,
+        dict_size=settings.resolved_dict_size(),
+        zpaq_level=settings.zpaq_level or 4, zpaq_bs=settings.zpaq_bs,
+        bzip3_bs=settings.bzip3_bs, zstd_level=zl, zstd_strategy=zs,
+        threads=settings.resolved_threads())
+
+
+def plan_chunks(total: int, settings: Settings,
+                ram_budget: Optional[int] = None) -> List[int]:
+    """Split the input into rzip chunk sizes (reference src/rzip.c:999-1020:
+    chunk = min(file, 2/3 ram), -w window override, -U whole file)."""
+    if total == 0:
+        return [0]
+    if settings.unlimited:
+        max_chunk = total
+    elif settings.window:
+        max_chunk = settings.window * C.CHUNK_MULTIPLE
+    elif settings.max_chunk:
+        max_chunk = settings.max_chunk
+    else:
+        from ..utils.memplan import default_max_chunk
+        max_chunk = default_max_chunk(ram_budget)
+    sizes = []
+    left = total
+    while left > 0:
+        c = min(left, max_chunk)
+        sizes.append(c)
+        left -= c
+    return sizes
+
+
+def _encode_tokens(chunk: np.ndarray, settings: Settings):
+    if settings.use_tpu:
+        from ..ops.matcher import rzip_encode_chunk_tpu
+        return rzip_encode_chunk_tpu(chunk)
+    return rzip_host.rzip_encode_chunk(chunk)
+
+
+def _split_stream(buf: np.ndarray, block_size: int) -> List[np.ndarray]:
+    if len(buf) == 0:
+        return []
+    return [buf[i:i + block_size] for i in range(0, len(buf), block_size)]
+
+
+def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
+                    settings: Optional[Settings] = None,
+                    encode_tokens=None) -> int:
+    """Compress a whole input to an .lrz archive; returns bytes written."""
+    settings = settings or Settings()
+    data = np.frombuffer(data, dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)) else np.asarray(
+            data, dtype=np.uint8)
+    total = len(data)
+    encode_tokens = encode_tokens or (
+        lambda chunk: _encode_tokens(chunk, settings))
+
+    magic = _magic_for(settings, total, eof_known=True)
+    out.write(magic.encode())
+    written = magic.header_len
+
+    hasher = ArchiveHash(magic.hash_code) if magic.hash_code else None
+    cfg = _backend_cfg(settings)
+    try:
+        ctype = ctype_for_method(settings.method)
+    except KeyError:
+        raise ValueError(f"unknown compression method {settings.method!r}")
+    pool = ThreadPoolExecutor(max_workers=settings.resolved_threads())
+
+    chunk_sizes = plan_chunks(total, settings)
+    pos = 0
+    try:
+        for ci, csize in enumerate(chunk_sizes):
+            chunk = data[pos:pos + csize]
+            pos += csize
+            eof = ci == len(chunk_sizes) - 1
+            written += _compress_chunk(out, chunk, eof, ctype, cfg,
+                                       settings, pool, encode_tokens)
+            if hasher is not None:
+                hasher.update(chunk)
+    finally:
+        pool.shutdown()
+    if hasher is not None:
+        digest = hasher.digest()
+        out.write(digest)
+        written += len(digest)
+    return written
+
+
+def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
+                    cfg: BackendConfig, settings: Settings,
+                    pool: ThreadPoolExecutor, encode_tokens) -> int:
+    csize = len(chunk)
+    w = C.chunk_byte_width(max(csize, 1))
+    kinds, lengths, dists = encode_tokens(chunk)
+    kinds, lengths, dists = split_long_runs(kinds, lengths, dists)
+    crc = zlib.crc32(chunk) & 0xFFFFFFFF
+    stream0 = encode_token_stream(kinds, lengths, dists, w,
+                                  stored_crc_int(crc))
+    stream1 = rzip_host.literals_of(chunk, kinds, lengths)
+
+    gate = _lz4_gate(settings)
+    blocks: List[Block] = []
+    jobs = []
+    for streamno, stream in ((0, stream0), (1, stream1)):
+        for part in _split_stream(stream, settings.block_size):
+            raw = part.tobytes()
+            if streamno == 1 and settings.filter_flag:
+                raw = apply_filter(raw, settings.filter_flag,
+                                   settings.delta_offset)
+            jobs.append((streamno, raw))
+
+    def compress_one(job):
+        streamno, raw = job
+        use_ctype = ctype
+        if use_ctype != C.CTYPE_NONE and gate is not None \
+                and not gate(raw):
+            use_ctype = C.CTYPE_NONE
+        ct, payload = compress_block(raw, use_ctype, cfg)
+        return Block(streamno=streamno, c_type=ct, c_len=len(payload),
+                     u_len=len(raw), payload=payload)
+
+    blocks = list(pool.map(compress_one, jobs))
+    return write_chunk(out, w, eof, csize, blocks)
+
+
+def _lz4_gate(settings: Settings) -> Optional[Callable[[bytes], bool]]:
+    if not settings.lz4_test or settings.method == "none":
+        return None
+    from ..ops.lz4gate import compressibility_gate
+    return lambda raw: compressibility_gate(raw, settings.threshold)
+
+
+def decompress_stream(fd: BinaryIO, settings: Optional[Settings] = None
+                      ) -> bytes:
+    """Decompress a full .lrz archive (self- or reference-produced)."""
+    settings = settings or Settings()
+    head = fd.read(C.MAGIC_LEN)
+    if len(head) < C.MAGIC_LEN:
+        raise ValueError("archive too short for magic header")
+    magic = MagicHeader.decode(head)
+    # versions < 11 have shorter magic; rewind extra bytes
+    fd.seek(magic.header_len - len(magic.comment))
+    if magic.comment:
+        fd.seek(len(magic.comment), io.SEEK_CUR)
+    if magic.enc_code:
+        raise NotImplementedError(
+            "encrypted archive decode requires a passphrase API "
+            "(use lrzip_next_tpu.crypto)")
+
+    cfg = BackendConfig(
+        compression_level=magic.compression_level or 7,
+        dict_size=magic.lzma_dict_size,
+        zpaq_level=magic.zpaq_level, zpaq_bs=magic.zpaq_bs,
+        bzip3_bs=magic.bzip3_bs, zstd_level=magic.zstd_level,
+        zstd_strategy=magic.zstd_strategy,
+        threads=settings.resolved_threads())
+
+    hasher = ArchiveHash(magic.hash_code) if magic.hash_code else None
+    pool = ThreadPoolExecutor(max_workers=settings.resolved_threads())
+    out = bytearray()
+    cumulative_crc = 0
+    try:
+        while True:
+            hdr = read_chunk_header(fd)
+            if hdr is None:
+                break
+            chunk_data = _decompress_chunk(fd, hdr, magic, cfg, pool,
+                                           bytes(out), cumulative_crc)
+            chunk_bytes, chunk_crc_ok = chunk_data
+            out += chunk_bytes
+            cumulative_crc = zlib.crc32(chunk_bytes, cumulative_crc)
+            if hasher is not None:
+                hasher.update(chunk_bytes)
+            if hdr.eof:
+                break
+    finally:
+        pool.shutdown()
+
+    if magic.eof_known and magic.expected_size and \
+            len(out) != magic.expected_size:
+        raise ValueError(f"decompressed size {len(out)} != expected "
+                         f"{magic.expected_size}")
+    if hasher is not None:
+        stored = fd.read(hasher.digest_size)
+        if len(stored) == hasher.digest_size and \
+                stored != hasher.digest():
+            raise ValueError(
+                f"{hasher.name} mismatch: archive corrupt "
+                f"(stored {stored.hex()}, computed {hasher.digest().hex()})")
+    return bytes(out)
+
+
+def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
+                      cfg: BackendConfig, pool: ThreadPoolExecutor,
+                      history: bytes, cumulative_crc: int
+                      ) -> Tuple[bytes, bool]:
+    reader = ChunkReader(fd, hdr)
+    refs0 = list(reader.blocks(0))
+    refs1 = list(reader.blocks(1))
+    payloads = {id(r): reader.read_payload(r) for r in refs0 + refs1}
+
+    def decomp(ref):
+        raw = decompress_block(payloads[id(ref)], ref.c_type, ref.u_len, cfg)
+        if ref.streamno == 1 and magic.filter_flag:
+            raw = undo_filter(raw, magic.filter_flag, magic.delta_offset,
+                              magic.minor_version)
+        return raw
+
+    results = list(pool.map(decomp, refs0 + refs1))
+    stream0 = b"".join(results[:len(refs0)])
+    stream1 = b"".join(results[len(refs0):])
+
+    kinds, lengths, dists, stored_crc, consumed = decode_token_stream(
+        np.frombuffer(stream0, dtype=np.uint8), hdr.chunk_bytes)
+    chunk = replay_tokens(kinds, lengths, dists,
+                          np.frombuffer(stream1, dtype=np.uint8),
+                          history=np.frombuffer(history, dtype=np.uint8)
+                          if history else None)
+    chunk_bytes = chunk.tobytes()
+    crc = zlib.crc32(chunk_bytes) & 0xFFFFFFFF
+    crc_ok = stored_crc == stored_crc_int(crc)
+    if not crc_ok:
+        # reference-produced CRC-mode multi-chunk archives accumulate the
+        # CRC handle across chunks on decode; accept the cumulative value
+        cum = zlib.crc32(chunk_bytes, cumulative_crc) & 0xFFFFFFFF
+        if stored_crc != stored_crc_int(cum):
+            raise ValueError(
+                f"chunk CRC mismatch: stored 0x{stored_crc:08x}")
+        crc_ok = True
+    # position fd at chunk end for the next chunk header
+    fd.seek(reader.end_offset())
+    return chunk_bytes, crc_ok
+
+
+# Convenience byte-level API ------------------------------------------------
+
+def compress(data: bytes, settings: Optional[Settings] = None) -> bytes:
+    buf = io.BytesIO()
+    compress_stream(data, buf, settings)
+    return buf.getvalue()
+
+
+def decompress(archive: bytes, settings: Optional[Settings] = None) -> bytes:
+    return decompress_stream(io.BytesIO(archive), settings)

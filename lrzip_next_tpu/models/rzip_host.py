@@ -1,0 +1,186 @@
+"""Host (numpy) rzip long-range matcher - the correctness reference.
+
+Re-expresses the reference's single-threaded greedy hash search
+(src/rzip.c:586-762 ``hash_search``) as batch array operations:
+
+1. 31-byte-window polynomial fingerprints for every position via prefix
+   sums (replaces the incremental Zobrist tag roll, src/rzip.c:385-429);
+2. nearest-previous-occurrence candidates via one stable sort by
+   (fingerprint, position) (replaces the open-addressed hash table with
+   tag-mask sparsification, src/rzip.c:304-383) - batch search is exact,
+   so sparsification is a memory knob here, not a recall compromise;
+3. greedy left-to-right token selection with *lazy* match extension: the
+   walk only extends matches it actually emits, so total work is
+   O(n + selected match bytes) even on highly repetitive data (the
+   reference gets the same property by jumping ``p`` past each emitted
+   match, src/rzip.c:683-687);
+4. fingerprint equality stands in for the 31-byte compare; the lazy
+   extension starts at offset 0, so a (vanishingly rare) hash collision
+   yields a < MINIMUM_MATCH extension and the candidate is skipped -
+   never a corrupt token.
+
+The TPU pipeline in lrzip_next_tpu/ops mirrors the same stages with
+jax/Pallas kernels; this module is the oracle its tests compare against.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..format.constants import MINIMUM_MATCH
+
+_A = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier => invertible mod 2^64
+
+
+def _pow_series(a: np.uint64, n: int) -> np.ndarray:
+    """[a^0, a^1, ..., a^(n-1)] mod 2^64."""
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = 1
+    if n > 1:
+        np.multiply.accumulate(np.full(n - 1, a, dtype=np.uint64),
+                               out=out[1:])
+    return out
+
+
+def _inv_u64(a: np.uint64) -> np.uint64:
+    """Inverse of odd a modulo 2^64 via Newton iteration."""
+    a = int(a)
+    x = a  # 3 bits correct; each step doubles correct bits
+    for _ in range(6):
+        x = (x * (2 - a * x)) % (1 << 64)
+    return np.uint64(x)
+
+
+def window_fingerprints(data: np.ndarray, w: int = MINIMUM_MATCH
+                        ) -> np.ndarray:
+    """Polynomial hash of data[i:i+w] for every i in [0, n-w]."""
+    n = len(data)
+    if n < w:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        d = data.astype(np.uint64)
+        ainv = _inv_u64(_A)
+        ainv_pows = _pow_series(ainv, n)
+        terms = d * ainv_pows
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(terms, out=prefix[1:])  # wraps mod 2^64
+        a_pows = _pow_series(_A, n)
+        i = np.arange(n - w + 1)
+        return (prefix[i + w] - prefix[i]) * a_pows[i + w - 1]
+
+
+def nearest_previous_candidates(fps: np.ndarray) -> np.ndarray:
+    """cand[i] = largest j < i with fps[j] == fps[i], else -1."""
+    n = len(fps)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    order = np.argsort(fps, kind="stable")
+    sf = fps[order]
+    cand = np.full(n, -1, dtype=np.int64)
+    same = sf[1:] == sf[:-1]
+    cand[order[1:][same]] = order[:-1][same]
+    return cand
+
+
+def extend_one(data: np.ndarray, src: int, pos: int,
+               start: int = 0) -> int:
+    """Common prefix length of data[pos:] vs data[src:] from offset start.
+
+    Chunked vector compares with doubling block size; overlap-safe because
+    for LZ factorisation the source window inside ``data`` equals the
+    would-be output.
+    """
+    n = len(data)
+    ml = start
+    block = 4096
+    while pos + ml < n:
+        c = min(block, n - (pos + ml))
+        a = data[pos + ml:pos + ml + c]
+        b = data[src + ml:src + ml + c]
+        neq = a != b
+        if neq.any():
+            return ml + int(neq.argmax())
+        ml += c
+        block = min(block * 2, 1 << 22)
+    return ml
+
+
+def greedy_select(data: np.ndarray, cand: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy left-to-right cover with lazy extension.
+
+    Returns columnar tokens (kinds, lengths, dists); lengths unbounded
+    (the stream encoder splits at MAX_TOKEN_LEN).
+    """
+    n = len(data)
+    m = len(cand)
+    # nxt[i]: next position >= i with a candidate, n if none
+    has = cand >= 0
+    nxt_vals = np.full(m, n, dtype=np.int64)
+    idx = np.flatnonzero(has)
+    nxt_vals[idx] = idx
+    if m:
+        nxt_vals = np.minimum.accumulate(nxt_vals[::-1])[::-1]
+    kinds, lengths, dists = [], [], []
+    p = 0        # emission frontier
+    s = 0        # scan position
+    while s < m:
+        j = int(nxt_vals[s])
+        if j >= m:
+            break
+        ml = extend_one(data, int(cand[j]), j)
+        if ml < MINIMUM_MATCH:
+            s = j + 1  # hash collision or short true match: skip
+            continue
+        if j > p:
+            kinds.append(0)
+            lengths.append(j - p)
+            dists.append(0)
+        kinds.append(1)
+        lengths.append(ml)
+        dists.append(j - int(cand[j]))
+        p = j + ml
+        s = p
+    if p < n:
+        kinds.append(0)
+        lengths.append(n - p)
+        dists.append(0)
+    return (np.array(kinds, dtype=np.uint8),
+            np.array(lengths, dtype=np.int64),
+            np.array(dists, dtype=np.int64))
+
+
+def rzip_encode_chunk(data: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full host-path rzip encode of one chunk -> columnar tokens."""
+    data = np.asarray(data, dtype=np.uint8)
+    n = len(data)
+    if n <= MINIMUM_MATCH:
+        if n == 0:
+            return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        return (np.array([0], np.uint8), np.array([n], np.int64),
+                np.array([0], np.int64))
+    fps = window_fingerprints(data)
+    cand = nearest_previous_candidates(fps)
+    return greedy_select(data, cand)
+
+
+def literals_of(data: np.ndarray, kinds: np.ndarray, lengths: np.ndarray
+                ) -> np.ndarray:
+    """Extract the literal byte stream implied by a token sequence."""
+    data = np.asarray(data, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    lit = np.asarray(kinds) == 0
+    if not lit.any():
+        return np.zeros(0, dtype=np.uint8)
+    ll = lengths[lit]
+    total = int(ll.sum())
+    idx = np.repeat(starts[lit], ll) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(ll)[:-1])), ll))
+    return data[idx]
