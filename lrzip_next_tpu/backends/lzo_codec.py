@@ -280,10 +280,18 @@ def lzo1x_compress(data: bytes) -> Optional[bytes]:
 
 
 def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
+    from .. import runtime
+    if runtime.available():
+        return runtime.lzo1x_encode(data)
     return lzo1x_compress(data)
 
 
 def decompress(payload: bytes, u_len: int, cfg: BackendConfig) -> bytes:
+    from .. import runtime
+    if runtime.available():
+        out = runtime.lzo1x_decode(payload, u_len)
+        if out is not None:
+            return out
     return lzo1x_decompress(payload, u_len)
 
 

@@ -1,0 +1,314 @@
+"""lrzip-next-compatible command line interface.
+
+Mirrors the option surface of the reference CLI (src/main.c:303-373
+getopt table, 110-186 usage text): compression method selection, levels,
+filters, window/memory knobs, hashes, info/test/decompress modes, and
+lrzip.conf layering (src/util.c:206-468).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Optional
+
+from . import __version__
+from .format import constants as C
+from .models import pipeline
+from .models.info import format_fileinfo, get_fileinfo
+from .utils.config import read_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lrzip-next-tpu", add_help=False,
+        description="TPU-native long range zip (lrzip-next compatible)")
+    g = p.add_argument_group("Compression Options")
+    g.add_argument("--lzma", action="store_const", dest="method",
+                   const="lzma", help="lzma compression (default)")
+    g.add_argument("-b", "--bzip2", action="store_const", dest="method",
+                   const="bzip2")
+    g.add_argument("-B", "--bzip3", action="store_const", dest="method",
+                   const="bzip3")
+    g.add_argument("-g", "--gzip", action="store_const", dest="method",
+                   const="gzip")
+    g.add_argument("-l", "--lzo", action="store_const", dest="method",
+                   const="lzo")
+    g.add_argument("-n", "--no-compress", action="store_const",
+                   dest="method", const="none")
+    g.add_argument("-z", "--zpaq", action="store_const", dest="method",
+                   const="zpaq")
+    g.add_argument("-Z", "--zstd", action="store_const", dest="method",
+                   const="zstd")
+    g.add_argument("-L", "--level", type=int, default=None, metavar="#",
+                   help="compression level 1-9 (default 7)")
+    g.add_argument("--fast", action="store_const", dest="level_alias",
+                   const=1)
+    g.add_argument("--best", action="store_const", dest="level_alias",
+                   const=9)
+    g.add_argument("--dictsize", type=int, default=None, metavar="DS",
+                   help="LZMA dictionary size code 0-40")
+    g.add_argument("--nobemt", action="store_true")
+    g.add_argument("--zpaqbs", type=int, default=None)
+    g.add_argument("--bzip3bs", type=int, default=None)
+    g.add_argument("--zstd-level", type=int, default=None)
+
+    f = p.add_argument_group("Filtering Options")
+    f.add_argument("--x86", action="store_const", dest="filter",
+                   const=C.FILTER_X86)
+    f.add_argument("--arm", action="store_const", dest="filter",
+                   const=C.FILTER_ARM)
+    f.add_argument("--armt", action="store_const", dest="filter",
+                   const=C.FILTER_ARMT)
+    f.add_argument("--arm64", action="store_const", dest="filter",
+                   const=C.FILTER_ARM64)
+    f.add_argument("--ppc", action="store_const", dest="filter",
+                   const=C.FILTER_PPC)
+    f.add_argument("--sparc", action="store_const", dest="filter",
+                   const=C.FILTER_SPARC)
+    f.add_argument("--ia64", action="store_const", dest="filter",
+                   const=C.FILTER_IA64)
+    f.add_argument("--riscv", action="store_const", dest="filter",
+                   const=C.FILTER_RISCV)
+    f.add_argument("--delta", nargs="?", const=1, type=int, default=None,
+                   metavar="N", help="delta filter with offset 1-256")
+
+    a = p.add_argument_group("Additional Options")
+    a.add_argument("-C", "--comment", default=None)
+    a.add_argument("-e", "--encrypt", nargs="?", const=True, default=None,
+                   metavar="password")
+    a.add_argument("-E", "--emethod", type=int, default=1)
+    a.add_argument("-D", "--delete", action="store_true")
+    a.add_argument("-f", "--force", action="store_true")
+    a.add_argument("-K", "--keep-broken", action="store_true")
+    a.add_argument("-o", "--outfile", default=None)
+    a.add_argument("-O", "--outdir", default=None)
+    a.add_argument("-S", "--suffix", default=".lrz")
+
+    lo = p.add_argument_group("Low level Options")
+    lo.add_argument("--costfactor", type=int, default=None)
+    lo.add_argument("-m", "--maxram", type=int, default=None,
+                    help="max RAM in hundreds of MB")
+    lo.add_argument("-N", "--nice-level", type=int, default=19)
+    lo.add_argument("-R", "--rzip-level", type=int, default=None)
+    lo.add_argument("-T", "--threshold", nargs="?", const=0, type=int,
+                    default=None,
+                    help="disable LZ4 test, or set threshold 1-99")
+    lo.add_argument("-U", "--unlimited", action="store_true")
+    lo.add_argument("-w", "--window", type=int, default=0)
+    lo.add_argument("--tpu", action="store_true", default=None,
+                    help="run the rzip matcher on TPU (default when "
+                         "TPU hardware is present)")
+    lo.add_argument("--no-tpu", action="store_false", dest="tpu")
+
+    d = p.add_argument_group("Decompression Options")
+    d.add_argument("-d", "--decompress", action="store_true")
+    d.add_argument("-t", "--test", action="store_true")
+    d.add_argument("-c", "--check", action="store_true")
+
+    ge = p.add_argument_group("General Options")
+    ge.add_argument("-h", "-?", "--help", action="help")
+    ge.add_argument("-H", "--hash", nargs="?", const=1, type=int,
+                    default=None, metavar="CODE",
+                    help="hash code 0-13 (default 1 = MD5)")
+    ge.add_argument("-i", "--info", action="store_true")
+    ge.add_argument("-P", "--progress", action="store_true")
+    ge.add_argument("-q", "--quiet", action="store_true")
+    ge.add_argument("-Q", "--very-quiet", action="store_true")
+    ge.add_argument("-p", "--threads", type=int, default=0)
+    ge.add_argument("-v", "--verbose", action="count", default=0)
+    ge.add_argument("-V", "--version", action="version",
+                    version=f"lrzip-next-tpu {__version__}")
+    p.add_argument("files", nargs="*")
+    return p
+
+
+def settings_from_args(args) -> pipeline.Settings:
+    conf = {} if os.environ.get("LRZIP") == "NOCONFIG" else read_config()
+    s = pipeline.Settings()
+    s.method = args.method or conf.get("compressionmethod", "lzma")
+    level = args.level if args.level is not None else \
+        getattr(args, "level_alias", None)
+    s.compression_level = level if level is not None else \
+        int(conf.get("compressionlevel", 7))
+    if not 1 <= s.compression_level <= 9:
+        raise SystemExit("compression level must be 1..9")
+    if args.rzip_level is not None:
+        s.rzip_level = args.rzip_level
+    elif "rziplevel" in conf:
+        s.rzip_level = int(conf["rziplevel"])
+    if args.hash is not None:
+        if not 0 <= args.hash <= C.MAXHASH:
+            raise SystemExit(f"hash code must be 0..{C.MAXHASH}")
+        s.hash_name = C.HASH_NAME[args.hash]
+    elif "hash" in conf:
+        s.hash_name = C.HASH_NAME.get(int(conf["hash"]), "MD5")
+    s.window = args.window or int(conf.get("window", 0))
+    s.unlimited = args.unlimited or \
+        str(conf.get("unlimited", "")).lower() == "yes"
+    s.threads = args.threads or int(conf.get("processors", 0))
+    if args.comment:
+        s.comment = args.comment.encode()[:64]
+    if args.dictsize is not None:
+        if not 0 <= args.dictsize <= 40:
+            raise SystemExit("dictsize must be 0..40")
+        s.dict_size = C.lzma2_dict_size_from_prop(args.dictsize)
+    if args.zstd_level is not None:
+        s.zstd_level = args.zstd_level
+    if args.zpaqbs is not None:
+        s.zpaq_bs = args.zpaqbs
+    if args.bzip3bs is not None:
+        s.bzip3_bs = args.bzip3bs
+    if args.delta is not None:
+        s.filter_flag = C.FILTER_DELTA
+        s.delta_offset = args.delta
+    elif args.filter:
+        s.filter_flag = args.filter
+    if args.threshold is not None:
+        if args.threshold == 0:
+            s.lz4_test = False
+        else:
+            s.threshold = args.threshold
+    if args.maxram is not None:
+        s.max_chunk = args.maxram * 100 * 1024 * 1024
+    if args.tpu is not None:
+        s.use_tpu = args.tpu
+    else:
+        s.use_tpu = _tpu_present()
+    return s
+
+
+def _tpu_present() -> bool:
+    try:
+        import jax
+        return any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+def _out_path(args, inpath: str, decompress: bool) -> str:
+    if args.outfile:
+        return args.outfile
+    base = os.path.basename(inpath)
+    if decompress:
+        if base.endswith(args.suffix):
+            base = base[:-len(args.suffix)]
+        else:
+            base = base + ".out"
+    else:
+        base = base + args.suffix
+    outdir = args.outdir or os.path.dirname(inpath)
+    return os.path.join(outdir, base) if outdir else base
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    quiet = args.quiet or args.very_quiet
+
+    if not args.files or args.files == ["-"]:
+        return _run_stdio(args)
+
+    for path in args.files:
+        try:
+            if args.info:
+                with open(path, "rb") as fd:
+                    info = get_fileinfo(fd)
+                print(format_fileinfo(info, path, verbose=args.verbose > 0))
+                continue
+            if args.decompress or args.test or args.check:
+                rc = _decompress_one(args, path, quiet)
+            else:
+                rc = _compress_one(args, path, quiet)
+            if rc:
+                return rc
+        except (ValueError, NotImplementedError, OSError) as e:
+            print(f"Fatal: {e}", file=sys.stderr)
+            return 1
+    return 0
+
+
+def _compress_one(args, path: str, quiet: bool) -> int:
+    settings = settings_from_args(args)
+    if args.encrypt is not None:
+        raise NotImplementedError(
+            "CLI encryption lands with the crypto module")
+    out_path = _out_path(args, path, decompress=False)
+    if os.path.exists(out_path) and not args.force:
+        print(f"Output file {out_path} exists. Use -f to force overwrite.",
+              file=sys.stderr)
+        return 1
+    t0 = time.time()
+    with open(path, "rb") as f:
+        data = f.read()
+    tmp_path = out_path + ".tmp"
+    try:
+        with open(tmp_path, "wb") as out:
+            n = pipeline.compress_stream(data, out, settings)
+        os.replace(tmp_path, out_path)
+    except BaseException:
+        if not args.keep_broken and os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+        raise
+    dt = max(time.time() - t0, 1e-9)
+    if not args.very_quiet:
+        ratio = len(data) / n if n else 0.0
+        print(f"{path} - Compression Ratio: {ratio:.3f}. "
+              f"bpb: {8.0 * n / max(len(data), 1):.3f}. "
+              f"Average Compression Speed: {len(data) / 1e6 / dt:6.3f}MB/s.")
+    if args.delete:
+        os.unlink(path)
+    return 0
+
+
+def _decompress_one(args, path: str, quiet: bool) -> int:
+    settings = settings_from_args(args)
+    t0 = time.time()
+    with open(path, "rb") as fd:
+        data = pipeline.decompress_stream(fd, settings)
+    dt = max(time.time() - t0, 1e-9)
+    if args.test:
+        if not args.very_quiet:
+            print(f"{path}: integrity OK ({len(data):,} bytes, "
+                  f"{len(data) / 1e6 / dt:.1f}MB/s)")
+        return 0
+    out_path = _out_path(args, path, decompress=True)
+    if os.path.exists(out_path) and not args.force:
+        print(f"Output file {out_path} exists. Use -f to force overwrite.",
+              file=sys.stderr)
+        return 1
+    with open(out_path, "wb") as f:
+        f.write(data)
+    if args.check:
+        with open(out_path, "rb") as f:
+            if f.read() != data:
+                print("Fatal: written file fails -c re-read check",
+                      file=sys.stderr)
+                return 1
+    if not args.very_quiet:
+        print(f"{path} - decompressed {len(data):,} bytes, "
+              f"{len(data) / 1e6 / dt:.1f}MB/s")
+    if args.delete:
+        os.unlink(path)
+    return 0
+
+
+def _run_stdio(args) -> int:
+    data = sys.stdin.buffer.read()
+    if args.decompress or args.test:
+        import io as _io
+        out = pipeline.decompress_stream(_io.BytesIO(data),
+                                         settings_from_args(args))
+        if not args.test:
+            sys.stdout.buffer.write(out)
+    else:
+        import io as _io
+        buf = _io.BytesIO()
+        pipeline.compress_stream(data, buf, settings_from_args(args))
+        sys.stdout.buffer.write(buf.getvalue())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -326,10 +326,24 @@ def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
 
     kinds, lengths, dists, stored_crc, consumed = decode_token_stream(
         np.frombuffer(stream0, dtype=np.uint8), hdr.chunk_bytes)
-    chunk = replay_tokens(kinds, lengths, dists,
-                          np.frombuffer(stream1, dtype=np.uint8),
-                          history=np.frombuffer(history, dtype=np.uint8)
-                          if history else None)
+    literals = np.frombuffer(stream1, dtype=np.uint8)
+    from .. import runtime
+    chunk = None
+    if runtime.available():
+        # distances are chunk-local in practice; retry with history only
+        # when a foreign archive actually reaches back past the chunk
+        try:
+            chunk = runtime.replay_tokens(kinds, lengths, dists, literals,
+                                          int(lengths.sum()))
+        except ValueError:
+            chunk = runtime.replay_tokens(
+                kinds, lengths, dists, literals, int(lengths.sum()),
+                history=np.frombuffer(history, dtype=np.uint8)
+                if history else None)
+    if chunk is None:
+        chunk = replay_tokens(kinds, lengths, dists, literals,
+                              history=np.frombuffer(history, dtype=np.uint8)
+                              if history else None)
     chunk_bytes = chunk.tobytes()
     crc = zlib.crc32(chunk_bytes) & 0xFFFFFFFF
     crc_ok = stored_crc == stored_crc_int(crc)

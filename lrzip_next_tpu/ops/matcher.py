@@ -1,0 +1,241 @@
+"""TPU rzip matcher: the long-range redundancy search as a JAX pipeline.
+
+This is the TPU-native re-design of the reference's byte-at-a-time hash
+search (src/rzip.c:586-762).  The sequential hash-table scan becomes four
+data-parallel stages:
+
+1. **Fingerprints** - two independent 32-bit polynomial hashes of every
+   31-byte window, via modular prefix sums + power series
+   (``jnp.cumsum`` / ``associative_scan`` over uint32, wrap-exact).
+   Replaces the rolling Zobrist tag (src/rzip.c:385-429).
+2. **Candidates** - one lexicographic sort of (fpA, fpB, pos) puts equal
+   windows adjacent; each position's candidate is its predecessor in the
+   sorted order = the *nearest previous* occurrence.  Replaces the
+   open-addressed insert/probe table (src/rzip.c:304-383) with an exact
+   batch search.
+3. **Verification** - dense 31-byte compare of each position against its
+   candidate (gathers), killing hash collisions.
+4. **Chain runs** - positions whose candidates advance in lockstep
+   (cand[i+1] == cand[i]+1) form runs; a run of length r is a verified
+   match of length r+30 at its start.  Run boundaries come from vector
+   compares; the final greedy cover over runs is O(#runs) on host
+   (lrzip_next_tpu.models side), mirroring how the reference's greedy
+   jumps past each emitted match (src/rzip.c:683-687).
+
+All stages are O(n log n) work with static shapes - XLA-friendly, no
+data-dependent control flow on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.constants import MINIMUM_MATCH
+
+# Hash window: 32 bytes (covers MINIMUM_MATCH=31; a 32-byte verified
+# window implies a valid >=31-byte match).
+HASH_W = 32
+
+# Per-level odd multipliers for two independent tree hashes (mod 2^32).
+_M1 = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
+_M2 = (0xD1B54A33, 0xABC98389, 0x8CB92BA7, 0x2545F491, 0x9E377F4B)
+
+
+def _window_fps_tree(data_u32: jnp.ndarray, mults) -> jnp.ndarray:
+    """Hash of every 32-byte window via 5 shifted multiply-add levels.
+
+    Level k combines hashes of adjacent 2^(k-1)-byte windows:
+    A_k[i] = A_{k-1}[i] * M_k + A_{k-1}[i + 2^(k-1)], so A_5[i] hashes
+    data[i : i+32].  No scans, no gathers - compiles fast and runs at
+    VPU speed at any chunk size.  Output length n - 31.
+    """
+    a = data_u32
+    for k, m in enumerate(mults):
+        half = 1 << k
+        a = a[:-half] * jnp.uint32(m) + a[half:]
+    return a
+
+
+@jax.jit
+def match_candidates(data: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage 1-3: per-position nearest-previous verified candidates.
+
+    Args:
+      data: uint8 chunk of static length n (n > HASH_W).
+    Returns:
+      (cand, ok): int32 candidate source position per window position
+      (undefined where ~ok), and a bool mask of verified 32-byte matches.
+      Output length n - HASH_W + 1.
+    """
+    n = data.shape[0]
+    m = n - HASH_W + 1
+    d32 = data.astype(jnp.uint32)
+    fpa = _window_fps_tree(d32, _M1)[:m]
+    fpb = _window_fps_tree(d32, _M2)[:m]
+    pos = jnp.arange(m, dtype=jnp.int32)
+
+    sfpa, sfpb, spos = jax.lax.sort((fpa, fpb, pos), num_keys=3)
+    same = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (sfpa[1:] == sfpa[:-1]) & (sfpb[1:] == sfpb[:-1])])
+    prev_pos = jnp.concatenate([jnp.zeros((1,), jnp.int32), spos[:-1]])
+    cand_sorted = jnp.where(same, prev_pos, jnp.int32(-1))
+    cand = jnp.zeros((m,), jnp.int32).at[spos].set(cand_sorted)
+
+    ok = cand >= 0
+    # exact 32-byte verification (collision kill): 8 u32-word compares
+    # via gathers over the word-at-every-byte-offset view
+    safe_cand = jnp.where(ok, cand, 0)
+    w4 = (d32[:-3] | (d32[1:-2] << 8) | (d32[2:-1] << 16)
+          | (d32[3:] << 24))
+    eq = jnp.ones((m,), bool)
+    for off in range(0, HASH_W, 4):
+        eq &= w4[safe_cand + off] == w4[pos + off]
+    ok &= eq
+    return cand, ok
+
+
+@jax.jit
+def chain_runs(cand: jnp.ndarray, ok: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage 4: mark run starts of lockstep candidate chains.
+
+    A position starts a run when it is ok and either its predecessor is
+    not ok or the predecessor's chain does not continue into it.
+    Returns (run_start_mask, run_id) where run_id is the inclusive scan
+    of run starts (1-based over ok positions, 0 elsewhere is meaningless).
+    """
+    cont = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        ok[1:] & ok[:-1] & (cand[1:] == cand[:-1] + 1)])
+    start = ok & ~cont
+    run_id = jnp.cumsum(start.astype(jnp.int32))
+    return start, run_id
+
+
+def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compact device run data to host arrays (run_start, run_len, src).
+
+    ``limit`` drops window positions past the real (unpadded) length.
+    """
+    start, run_id = chain_runs(cand, ok)
+    start_np = np.asarray(start)
+    cand_np = np.asarray(cand)
+    ok_np = np.asarray(ok)
+    if limit is not None and limit < len(ok_np):
+        start_np = start_np[:limit]
+        cand_np = cand_np[:limit]
+        ok_np = ok_np[:limit]
+    starts = np.flatnonzero(start_np)
+    if len(starts) == 0:
+        return (np.zeros(0, np.int64),) * 3
+    # run end: last consecutive ok position with lockstep chain
+    # compute via next-start boundaries on host (cheap: run-level arrays)
+    nxt = np.empty(len(starts), dtype=np.int64)
+    nxt[:-1] = starts[1:]
+    nxt[-1] = len(ok_np)
+    # within [start, nxt) the chain may break where ok goes false:
+    # find first not-ok-or-broken position after each start
+    # vectorised: positions where chain continues
+    cont = np.zeros(len(ok_np) + 1, dtype=bool)
+    cont[1:-1] = ok_np[1:] & ok_np[:-1] & (cand_np[1:] == cand_np[:-1] + 1)
+    # run length = number of consecutive cont positions after start
+    # compute run ends via cumulative trick: index of next False in cont
+    brk = np.flatnonzero(~cont)  # positions where a run cannot continue
+    ends = brk[np.searchsorted(brk, starts + 1)]
+    run_len = ends - starts
+    return starts.astype(np.int64), run_len.astype(np.int64), \
+        cand_np[starts].astype(np.int64)
+
+
+def greedy_cover_from_runs(run_start: np.ndarray, run_len: np.ndarray,
+                           run_src: np.ndarray, n: int, w: int = HASH_W
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy left-to-right token cover from verified chain runs.
+
+    Each run (s, r, src) certifies data[s : s+r+w-1] == data[src : ...].
+    The frontier walk emits a match at max(s, frontier) when the run
+    still has >= w bytes beyond that point.  O(#runs); runs in the native
+    runtime when available, Python fallback below.
+    """
+    from .. import runtime
+    if runtime.available():
+        res = runtime.greedy_cover(run_start, run_len, run_src, n, w)
+        if res is not None:
+            return res
+    kinds, lengths, dists = [], [], []
+    f = 0  # emission frontier
+    dist_arr = run_start - run_src
+    for i in range(len(run_start)):
+        s = int(run_start[i])
+        span_end = int(run_start[i] + run_len[i] + w - 1)
+        start_at = s if s >= f else f
+        if span_end - start_at < w:
+            continue
+        if start_at > f:
+            kinds.append(0)
+            lengths.append(start_at - f)
+            dists.append(0)
+        kinds.append(1)
+        lengths.append(span_end - start_at)
+        dists.append(int(dist_arr[i]))
+        f = span_end
+        if f >= n:
+            break
+    if f < n:
+        kinds.append(0)
+        lengths.append(n - f)
+        dists.append(0)
+    return (np.array(kinds, dtype=np.uint8),
+            np.array(lengths, dtype=np.int64),
+            np.array(dists, dtype=np.int64))
+
+
+def _bucket_size(n: int) -> int:
+    """Pad chunk lengths to coarse buckets so jit caches stay warm."""
+    if n <= 1 << 16:
+        return 1 << 16
+    b = 1 << 16
+    while b < n:
+        b <<= 1
+    # above 8MB, step in 8MB increments instead of doubling
+    if n > (1 << 23):
+        step = 1 << 23
+        return ((n + step - 1) // step) * step
+    return b
+
+
+def rzip_encode_chunk_tpu(data: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full TPU-path rzip encode of one chunk -> columnar tokens.
+
+    Input is zero-padded to a bucketed static shape; padding windows sort
+    after all real positions (position is the sort tiebreak), so real
+    candidates are unaffected and results are sliced back to n.
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    n = len(data)
+    if n <= HASH_W + 4:
+        if n == 0:
+            return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        return (np.array([0], np.uint8), np.array([n], np.int64),
+                np.array([0], np.int64))
+    nb = _bucket_size(n)
+    if nb != n:
+        padded = np.zeros(nb, dtype=np.uint8)
+        padded[:n] = data
+    else:
+        padded = data
+    dev = jnp.asarray(padded)
+    cand, ok = match_candidates(dev)
+    m = n - HASH_W + 1
+    rs, rl, src = runs_to_host(cand, ok, limit=m)
+    return greedy_cover_from_runs(rs, rl, src, n)

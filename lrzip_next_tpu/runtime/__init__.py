@@ -1,0 +1,149 @@
+"""Native host runtime: C++ serial tails bound via ctypes.
+
+Builds lazily with g++ on first use (cached as a .so next to the
+sources); every entry point has a pure-Python fallback so the framework
+degrades gracefully when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "csrc", "hostops.cpp")
+_SO = os.path.join(_HERE, "_hostops.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", _SRC, "-o", _SO + ".tmp"],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(_SO + ".tmp", _SO)
+            except (subprocess.SubprocessError, OSError):
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        i64 = ctypes.c_int64
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.greedy_cover.restype = i64
+        lib.greedy_cover.argtypes = [i64p, i64p, i64p, i64, i64, i64,
+                                     u8p, i64p, i64p]
+        lib.replay_tokens.restype = i64
+        lib.replay_tokens.argtypes = [u8p, i64p, i64p, i64, u8p, i64,
+                                      u8p, i64, i64]
+        lib.lzo1x_encode.restype = i64
+        lib.lzo1x_encode.argtypes = [u8p, i64, u8p, i64, i32p]
+        lib.lzo1x_decode.restype = i64
+        lib.lzo1x_decode.argtypes = [u8p, i64, u8p, i64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def greedy_cover(run_start: np.ndarray, run_len: np.ndarray,
+                 run_src: np.ndarray, n: int, min_match: int
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        return None
+    nr = len(run_start)
+    cap = 2 * nr + 2
+    run_start = np.ascontiguousarray(run_start, dtype=np.int64)
+    run_len = np.ascontiguousarray(run_len, dtype=np.int64)
+    run_src = np.ascontiguousarray(run_src, dtype=np.int64)
+    ok = np.empty(cap, dtype=np.uint8)
+    ol = np.empty(cap, dtype=np.int64)
+    od = np.empty(cap, dtype=np.int64)
+    t = lib.greedy_cover(_i64p(run_start), _i64p(run_len), _i64p(run_src),
+                         nr, n, min_match, _u8p(ok), _i64p(ol), _i64p(od))
+    return ok[:t].copy(), ol[:t].copy(), od[:t].copy()
+
+
+def replay_tokens(kinds: np.ndarray, lens: np.ndarray, dists: np.ndarray,
+                  literals: np.ndarray, out_len: int,
+                  history: Optional[np.ndarray] = None
+                  ) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    hist_len = 0 if history is None else len(history)
+    buf = np.empty(hist_len + out_len, dtype=np.uint8)
+    if hist_len:
+        buf[:hist_len] = history
+    kinds = np.ascontiguousarray(kinds, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    dists = np.ascontiguousarray(dists, dtype=np.int64)
+    literals = np.ascontiguousarray(literals, dtype=np.uint8)
+    ret = lib.replay_tokens(_u8p(kinds), _i64p(lens), _i64p(dists),
+                            len(kinds), _u8p(literals), len(literals),
+                            _u8p(buf), len(buf), hist_len)
+    if ret < 0:
+        raise ValueError("corrupt rzip token stream (native replay)")
+    return buf[hist_len:hist_len + ret]
+
+
+def lzo1x_encode(data: bytes) -> Optional[bytes]:
+    lib = _load()
+    if lib is None or len(data) < 16:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + len(data) // 16 + 128
+    out = np.empty(cap, dtype=np.uint8)
+    work = np.empty(1 << 17, dtype=np.int32)
+    ret = lib.lzo1x_encode(_u8p(src), len(data), _u8p(out), cap,
+                           work.ctypes.data_as(
+                               ctypes.POINTER(ctypes.c_int32)))
+    if ret < 0:
+        return None
+    return out[:ret].tobytes()
+
+
+def lzo1x_decode(payload: bytes, u_len: int) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(u_len, dtype=np.uint8)
+    ret = lib.lzo1x_decode(_u8p(src), len(payload), _u8p(out), u_len)
+    if ret < 0:
+        raise ValueError("corrupt LZO block (native decode)")
+    if ret != u_len:
+        raise ValueError(f"LZO decoded {ret} bytes, expected {u_len}")
+    return out.tobytes()

@@ -1,0 +1,347 @@
+// Native host runtime for lrzip_next_tpu.
+//
+// The serial tails that resist vectorisation live here, mirroring how the
+// reference keeps its serial coders native (LZMA SDK range coder,
+// src/lzma/C/LzmaEnc.c; libzpaq arithmetic coder):
+//
+//  - greedy_cover: frontier walk over verified match runs (the only
+//    sequential stage of the TPU matcher pipeline, see
+//    lrzip_next_tpu/ops/matcher.py)
+//  - lzo1x encode/decode: byte-oriented LZ with sequential state
+//    (replaces liblzo2, which the reference links at configure.ac:146)
+//  - token replay: sequential fallback decoder for rzip token streams
+//    (reference src/runzip.c:129-241 semantics)
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// --------------------------------------------------------------- greedy
+
+// Walk verified chain runs left to right, emitting (kind, len, dist)
+// tokens. Returns number of tokens written. Output arrays must have
+// capacity >= 2 * n_runs + 2.
+int64_t greedy_cover(const int64_t* run_start, const int64_t* run_len,
+                     const int64_t* run_src, int64_t n_runs, int64_t n,
+                     int64_t min_match, uint8_t* out_kind,
+                     int64_t* out_len, int64_t* out_dist) {
+    int64_t f = 0;  // emission frontier
+    int64_t t = 0;
+    for (int64_t i = 0; i < n_runs; i++) {
+        int64_t s = run_start[i];
+        int64_t span_end = s + run_len[i] + min_match - 1;
+        int64_t start_at = s > f ? s : f;
+        if (span_end - start_at < min_match) continue;
+        if (start_at > f) {
+            out_kind[t] = 0;
+            out_len[t] = start_at - f;
+            out_dist[t] = 0;
+            t++;
+        }
+        out_kind[t] = 1;
+        out_len[t] = span_end - start_at;
+        out_dist[t] = run_start[i] - run_src[i];
+        t++;
+        f = span_end;
+        if (f >= n) break;
+    }
+    if (f < n) {
+        out_kind[t] = 0;
+        out_len[t] = n - f;
+        out_dist[t] = 0;
+        t++;
+    }
+    return t;
+}
+
+// --------------------------------------------------------------- replay
+
+// Sequential rzip token replay with full history semantics
+// (reference src/runzip.c:184-241): matches copy from the already
+// written output, overlap-safe. Returns bytes written or -1 on error.
+int64_t replay_tokens(const uint8_t* kinds, const int64_t* lens,
+                      const int64_t* dists, int64_t n_tokens,
+                      const uint8_t* literals, int64_t n_literals,
+                      uint8_t* out, int64_t out_cap, int64_t hist_len) {
+    // out buffer layout: [0, hist_len) pre-filled history, output follows.
+    int64_t op = hist_len;
+    int64_t lp = 0;
+    for (int64_t i = 0; i < n_tokens; i++) {
+        int64_t len = lens[i];
+        if (op + len > out_cap) return -1;
+        if (kinds[i] == 0) {
+            if (lp + len > n_literals) return -1;
+            std::memcpy(out + op, literals + lp, (size_t)len);
+            lp += len;
+            op += len;
+        } else {
+            int64_t dist = dists[i];
+            if (dist < 1 || dist > op) return -1;
+            const uint8_t* src = out + op - dist;
+            if (dist >= len) {
+                std::memcpy(out + op, src, (size_t)len);
+                op += len;
+            } else {
+                for (int64_t k = 0; k < len; k++) out[op + k] = src[k];
+                op += len;
+            }
+        }
+    }
+    return op - hist_len;
+}
+
+// ----------------------------------------------------------------- lzo
+
+// LZO1X-1-style greedy encoder (valid LZO1X bitstream: literal runs,
+// M2/M3/M4 matches, trailing-literal folding, EOS marker).
+// Returns compressed length, or -1 if output would exceed out_cap.
+int64_t lzo1x_encode(const uint8_t* in, int64_t n, uint8_t* out,
+                     int64_t out_cap, int32_t* work /* 1<<17 ints */) {
+    if (n < 16) return -1;
+    const int HASH_BITS = 17;
+    const int64_t HSIZE = (int64_t)1 << HASH_BITS;
+    for (int64_t i = 0; i < HSIZE; i++) work[i] = -1;
+
+    int64_t op = 0, ip = 0, lit_start = 0;
+    bool first = true;
+    int64_t trailing_pos = -1;  // byte holding trailing-literal bits
+
+    auto emit_literals_standalone = [&](int64_t from, int64_t count) -> bool {
+        if (first && count <= 238) {
+            if (op + 1 + count > out_cap) return false;
+            out[op++] = (uint8_t)(count + 17);
+        } else if (count <= 18) {
+            if (op + 1 + count > out_cap) return false;
+            out[op++] = (uint8_t)(count - 3);
+        } else {
+            int64_t tt = count - 18;
+            if (op + 4 + count + tt / 255 > out_cap) return false;
+            out[op++] = 0;
+            while (tt > 255) { out[op++] = 0; tt -= 255; }
+            out[op++] = (uint8_t)tt;
+        }
+        std::memcpy(out + op, in + from, (size_t)count);
+        op += count;
+        first = false;
+        return true;
+    };
+
+    const int64_t limit = n - 4;
+    while (ip < limit) {
+        uint32_t key;
+        std::memcpy(&key, in + ip, 4);
+        uint32_t h = (key * 2654435761u) >> (32 - HASH_BITS);
+        int64_t j = work[h];
+        work[h] = (int32_t)ip;
+        int64_t mlen = 0, dist = 0;
+        if (j >= 0 && j < ip) {
+            dist = ip - j;
+            if (dist <= 49151 && std::memcmp(in + j, in + ip, 4) == 0) {
+                mlen = 4;
+                int64_t maxm = n - ip;
+                while (mlen < maxm && in[j + mlen] == in[ip + mlen]) mlen++;
+            }
+        }
+        if (mlen >= 4) {
+            int64_t pend = ip - lit_start;
+            if (pend > 0) {
+                if (!first && pend <= 3 && trailing_pos >= 0) {
+                    out[trailing_pos] |= (uint8_t)pend;
+                    if (op + pend > out_cap) return -1;
+                    std::memcpy(out + op, in + lit_start, (size_t)pend);
+                    op += pend;
+                } else if (pend >= 4 || first) {
+                    if (!emit_literals_standalone(lit_start, pend)) return -1;
+                } else {
+                    // cannot represent 1..3 standalone literals after a
+                    // zero-trailing match: emit them via the previous
+                    // instruction is impossible; fall back to skipping
+                    // the match by one byte
+                    ip++;
+                    continue;
+                }
+            }
+            if (op + 8 > out_cap) return -1;
+            if (mlen <= 8 && dist <= 2048) {
+                int64_t d = dist - 1;
+                trailing_pos = op;
+                out[op++] = (uint8_t)(((mlen - 1) << 5) | ((d & 7) << 2));
+                out[op++] = (uint8_t)(d >> 3);
+            } else if (dist <= 16384) {
+                int64_t d = dist - 1, ml2 = mlen - 2;
+                if (ml2 <= 31) {
+                    out[op++] = (uint8_t)(32 | ml2);
+                } else {
+                    out[op++] = 32;
+                    int64_t rem = ml2 - 31;
+                    while (rem > 255) {
+                        if (op + 4 > out_cap) return -1;
+                        out[op++] = 0; rem -= 255;
+                    }
+                    out[op++] = (uint8_t)rem;
+                }
+                trailing_pos = op;
+                out[op++] = (uint8_t)((d << 2) & 0xFF);
+                out[op++] = (uint8_t)(d >> 6);
+            } else {
+                int64_t d = dist - 16384, ml2 = mlen - 2;
+                uint8_t hi = (uint8_t)(16 | ((d >> 11) & 8));
+                if (ml2 <= 7) {
+                    out[op++] = (uint8_t)(hi | ml2);
+                } else {
+                    out[op++] = hi;
+                    int64_t rem = ml2 - 7;
+                    while (rem > 255) {
+                        if (op + 4 > out_cap) return -1;
+                        out[op++] = 0; rem -= 255;
+                    }
+                    out[op++] = (uint8_t)rem;
+                }
+                trailing_pos = op;
+                out[op++] = (uint8_t)((d << 2) & 0xFF);
+                out[op++] = (uint8_t)((d >> 6) & 0xFF);
+            }
+            // insert a few hash entries inside the match for better chains
+            int64_t step = mlen > 64 ? 16 : 4;
+            for (int64_t k = ip + 1; k + 4 <= ip + mlen && k < limit;
+                 k += step) {
+                uint32_t kk;
+                std::memcpy(&kk, in + k, 4);
+                work[(kk * 2654435761u) >> (32 - HASH_BITS)] = (int32_t)k;
+            }
+            ip += mlen;
+            lit_start = ip;
+            first = false;
+        } else {
+            ip++;
+        }
+    }
+    // tail literals
+    int64_t pend = n - lit_start;
+    if (pend > 0) {
+        if (!first && pend <= 3 && trailing_pos >= 0) {
+            out[trailing_pos] |= (uint8_t)pend;
+            if (op + pend > out_cap) return -1;
+            std::memcpy(out + op, in + lit_start, (size_t)pend);
+            op += pend;
+        } else {
+            if (!emit_literals_standalone(lit_start, pend)) return -1;
+        }
+    }
+    if (op + 3 > out_cap) return -1;
+    out[op++] = 17;  // M4 EOS marker: dist 16384, len 3
+    out[op++] = 0;
+    out[op++] = 0;
+    return op;
+}
+
+// Full LZO1X decoder (same instruction set as lzo1x_decompress_safe).
+// Returns decompressed length or -1 on malformed input / overflow.
+int64_t lzo1x_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                     int64_t out_cap) {
+    int64_t ip = 0, op = 0;
+    int state = 0;
+    if (n < 3) return -1;
+    uint32_t t = in[ip];
+    if (t > 17) {
+        ip++;
+        t -= 17;
+        if (ip + (int64_t)t > n || op + (int64_t)t > out_cap) return -1;
+        std::memcpy(out + op, in + ip, t);
+        ip += t; op += t;
+        state = t >= 4 ? 4 : (int)t;
+    }
+    for (;;) {
+        if (ip >= n) return -1;
+        t = in[ip++];
+        int64_t trailing;
+        if (t < 16) {
+            if (state == 0) {
+                if (t == 0) {
+                    while (ip < n && in[ip] == 0) { t += 255; ip++; }
+                    if (ip >= n) return -1;
+                    t += 15 + in[ip++];
+                }
+                t += 3;
+                if (ip + (int64_t)t > n || op + (int64_t)t > out_cap)
+                    return -1;
+                std::memcpy(out + op, in + ip, t);
+                ip += t; op += t;
+                state = 4;
+                continue;
+            }
+            int64_t d;
+            int64_t len;
+            if (state == 4) {
+                if (ip >= n) return -1;
+                d = (t >> 2) + ((int64_t)in[ip++] << 2) + 2049;
+                len = 3;
+            } else {
+                if (ip >= n) return -1;
+                d = (t >> 2) + ((int64_t)in[ip++] << 2) + 1;
+                len = 2;
+            }
+            if (d > op || op + len > out_cap) return -1;
+            for (int64_t k = 0; k < len; k++) out[op + k] = out[op - d + k];
+            op += len;
+            trailing = t & 3;
+        } else if (t >= 64) {
+            int64_t len = (t >> 5) + 1;
+            if (ip >= n) return -1;
+            int64_t d = ((t >> 2) & 7) + ((int64_t)in[ip++] << 3) + 1;
+            if (d > op || op + len > out_cap) return -1;
+            for (int64_t k = 0; k < len; k++) out[op + k] = out[op - d + k];
+            op += len;
+            trailing = t & 3;
+        } else if (t >= 32) {
+            int64_t len = t & 31;
+            if (len == 0) {
+                while (ip < n && in[ip] == 0) { len += 255; ip++; }
+                if (ip >= n) return -1;
+                len += 31 + in[ip++];
+            }
+            if (ip + 2 > n) return -1;
+            uint32_t ds = in[ip] | ((uint32_t)in[ip + 1] << 8);
+            ip += 2;
+            int64_t d = (ds >> 2) + 1;
+            len += 2;
+            if (d > op || op + len > out_cap) return -1;
+            for (int64_t k = 0; k < len; k++) out[op + k] = out[op - d + k];
+            op += len;
+            trailing = ds & 3;
+        } else {
+            int64_t len = t & 7;
+            int64_t dbits = ((int64_t)(t & 8)) << 11;
+            if (len == 0) {
+                while (ip < n && in[ip] == 0) { len += 255; ip++; }
+                if (ip >= n) return -1;
+                len += 7 + in[ip++];
+            }
+            if (ip + 2 > n) return -1;
+            uint32_t ds = in[ip] | ((uint32_t)in[ip + 1] << 8);
+            ip += 2;
+            int64_t d = 16384 + dbits + (ds >> 2);
+            if (d == 16384) break;  // EOS
+            len += 2;
+            if (d > op || op + len > out_cap) return -1;
+            for (int64_t k = 0; k < len; k++) out[op + k] = out[op - d + k];
+            op += len;
+            trailing = ds & 3;
+        }
+        if (trailing) {
+            if (ip + trailing > n || op + trailing > out_cap) return -1;
+            std::memcpy(out + op, in + ip, (size_t)trailing);
+            ip += trailing; op += trailing;
+            state = (int)trailing;
+        } else {
+            state = 0;
+        }
+    }
+    return op;
+}
+
+}  // extern "C"

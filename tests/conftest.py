@@ -3,11 +3,20 @@ multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment's sitecustomize pins JAX_PLATFORMS=axon (real TPU via
+# tunnel); tests must run on a virtual 8-device CPU mesh, so override
+# forcibly before anything initialises a JAX backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# sitecustomize already imported jax with JAX_PLATFORMS=axon baked into
+# the config defaults, so override at the config level too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,96 @@
+"""CLI surface: compress/decompress/test/info flows, option parsing."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from lrzip_next_tpu import cli
+
+
+def run_cli(argv, cwd=None):
+    return cli.main(argv)
+
+
+@pytest.fixture
+def sample_file(tmp_path, corpus_factory):
+    p = tmp_path / "data.bin"
+    p.write_bytes(corpus_factory(120_000, "text"))
+    return p
+
+
+def test_compress_decompress_file(sample_file, tmp_path, capsys):
+    orig = sample_file.read_bytes()
+    assert run_cli(["--no-tpu", "-Z", str(sample_file)]) == 0
+    lrz = sample_file.with_suffix(".bin.lrz")
+    assert lrz.exists()
+    out = capsys.readouterr().out
+    assert "Compression Ratio" in out
+    sample_file.unlink()
+    assert run_cli(["-d", str(lrz)]) == 0
+    assert sample_file.read_bytes() == orig
+
+
+def test_refuses_overwrite(sample_file, capsys):
+    assert run_cli(["--no-tpu", "-Z", str(sample_file)]) == 0
+    assert run_cli(["--no-tpu", "-Z", str(sample_file)]) == 1
+    assert "exists" in capsys.readouterr().err
+    assert run_cli(["--no-tpu", "-Z", "-f", str(sample_file)]) == 0
+
+
+def test_test_mode(sample_file, capsys):
+    assert run_cli(["--no-tpu", "-g", str(sample_file)]) == 0
+    lrz = str(sample_file) + ".lrz"
+    assert run_cli(["-t", lrz]) == 0
+    assert "integrity OK" in capsys.readouterr().out
+
+
+def test_info_mode(sample_file, capsys):
+    assert run_cli(["--no-tpu", "-L5", str(sample_file)]) == 0
+    lrz = str(sample_file) + ".lrz"
+    assert run_cli(["-i", lrz]) == 0
+    out = capsys.readouterr().out
+    assert "lrzip version: 0.14 file" in out
+    assert "lzma" in out
+    assert "Stream 0" in out and "Stream 1" in out
+
+
+def test_info_verbose_blocks(sample_file, capsys):
+    assert run_cli(["--no-tpu", "-Z", str(sample_file)]) == 0
+    assert run_cli(["-i", "-v", str(sample_file) + ".lrz"]) == 0
+    assert "Block 1" in capsys.readouterr().out
+
+
+def test_outfile_and_delete(sample_file, tmp_path):
+    orig = sample_file.read_bytes()
+    dst = tmp_path / "custom.lrz"
+    assert run_cli(["--no-tpu", "-n", "-D", "-o", str(dst),
+                    str(sample_file)]) == 0
+    assert not sample_file.exists()
+    assert run_cli(["-d", "-o", str(tmp_path / "restored"), str(dst)]) == 0
+    assert (tmp_path / "restored").read_bytes() == orig
+
+
+def test_bad_level_rejected(sample_file):
+    with pytest.raises(SystemExit):
+        run_cli(["--no-tpu", "-L99", str(sample_file)])
+
+
+def test_corrupt_file_fails_cleanly(tmp_path, capsys):
+    p = tmp_path / "bad.lrz"
+    p.write_bytes(b"LRZI\x00\x0e" + os.urandom(40))
+    assert run_cli(["-d", str(p)]) == 1
+    assert "Fatal" in capsys.readouterr().err
+
+
+def test_check_mode(sample_file):
+    assert run_cli(["--no-tpu", "-g", str(sample_file)]) == 0
+    sample_file.unlink()
+    assert run_cli(["-d", "-c", str(sample_file) + ".lrz"]) == 0
+
+
+def test_hash_option(sample_file, capsys):
+    assert run_cli(["--no-tpu", "-g", "-H", "5", str(sample_file)]) == 0
+    assert run_cli(["-i", str(sample_file) + ".lrz"]) == 0
+    assert "SHA512" in capsys.readouterr().out

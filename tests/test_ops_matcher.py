@@ -1,0 +1,86 @@
+"""TPU matcher pipeline (on the CPU test mesh): correctness vs host oracle."""
+
+import numpy as np
+import pytest
+
+from lrzip_next_tpu.format.constants import MINIMUM_MATCH
+from lrzip_next_tpu.format.tokens import replay_tokens
+from lrzip_next_tpu.models.rzip_host import literals_of
+from lrzip_next_tpu.ops.matcher import (match_candidates,
+                                        rzip_encode_chunk_tpu, runs_to_host)
+
+
+def tpu_roundtrip(data: bytes) -> tuple:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    kinds, lengths, dists = rzip_encode_chunk_tpu(arr)
+    assert lengths.sum() == len(data)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    m = kinds == 1
+    assert (lengths[m] >= MINIMUM_MATCH).all()
+    assert (dists[m] >= 1).all()
+    assert (starts[m] - dists[m] >= 0).all()
+    lit = literals_of(arr, kinds, lengths)
+    out = replay_tokens(kinds, lengths, dists, lit)
+    assert out.tobytes() == data
+    return kinds, lengths, dists
+
+
+def test_candidates_find_duplicates():
+    seg = np.random.default_rng(0).integers(0, 256, 4096, dtype=np.uint8)
+    data = np.concatenate([seg, seg])
+    import jax.numpy as jnp
+    cand, ok = match_candidates(jnp.asarray(data))
+    ok = np.asarray(ok)
+    cand = np.asarray(cand)
+    # position 4096 must match position 0
+    assert ok[4096]
+    assert cand[4096] == 0
+
+
+def test_verification_kills_mismatches():
+    # random data: no 31-byte window repeats, so no verified candidates
+    data = np.random.default_rng(1).integers(0, 256, 20000, dtype=np.uint8)
+    import jax.numpy as jnp
+    cand, ok = match_candidates(jnp.asarray(data))
+    ok = np.asarray(ok)
+    assert ok.sum() == 0
+
+
+def test_roundtrip_mixed(corpus_factory):
+    tpu_roundtrip(corpus_factory(120_000, "mixed"))
+
+
+def test_roundtrip_text(corpus_factory):
+    k, l, d = tpu_roundtrip(corpus_factory(120_000, "text"))
+    assert (k == 1).any()
+
+
+def test_roundtrip_zeros():
+    k, l, d = tpu_roundtrip(bytes(200_000))
+    # run-length-style coverage: nearly everything one match
+    assert l[k == 1].sum() > 190_000
+
+
+def test_roundtrip_random(corpus_factory):
+    tpu_roundtrip(corpus_factory(80_000, "random"))
+
+
+def test_padding_buckets_no_phantom_tokens():
+    # length just above a bucket boundary: padded windows must not leak
+    data = np.random.default_rng(2).integers(0, 256, (1 << 16) + 7,
+                                             dtype=np.uint8)
+    data[-7:] = 0  # trailing zeros adjacent to the zero padding
+    tpu_roundtrip(data.tobytes())
+
+
+def test_long_range_dedup_quality():
+    seg = np.random.default_rng(3).integers(0, 256, 50_000,
+                                            dtype=np.uint8).tobytes()
+    gap = np.random.default_rng(4).integers(0, 256, 200_000,
+                                            dtype=np.uint8).tobytes()
+    data = seg + gap + seg
+    kinds, lengths, dists = tpu_roundtrip(data)
+    m = kinds == 1
+    # the 50k duplicate must be found nearly in full
+    assert lengths[m].sum() >= 49_000
