@@ -173,6 +173,17 @@ def settings_from_args(args) -> pipeline.Settings:
             s.threshold = args.threshold
     if args.maxram is not None:
         s.max_chunk = args.maxram * 100 * 1024 * 1024
+    if args.encrypt is not None:
+        if args.encrypt is True:
+            import getpass
+            s.passphrase = getpass.getpass("Enter passphrase: ").encode()
+        else:
+            s.passphrase = str(args.encrypt).encode()
+        s.enc_code = args.emethod
+    if args.costfactor is not None:
+        if not 10 <= args.costfactor <= 40:
+            raise SystemExit("costfactor must be 10..40")
+        s.costfactor_exp = args.costfactor
     if args.tpu is not None:
         s.use_tpu = args.tpu
     else:
@@ -231,9 +242,6 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 def _compress_one(args, path: str, quiet: bool) -> int:
     settings = settings_from_args(args)
-    if args.encrypt is not None:
-        raise NotImplementedError(
-            "CLI encryption lands with the crypto module")
     out_path = _out_path(args, path, decompress=False)
     if os.path.exists(out_path) and not args.force:
         print(f"Output file {out_path} exists. Use -f to force overwrite.",

@@ -63,6 +63,9 @@ class Settings:
     use_tpu: bool = False          # rzip matcher on TPU (ops pipeline)
     lz4_test: bool = True          # compressibility gate before backends
     threshold: int = 100
+    passphrase: Optional[bytes] = None  # -e: enables encryption
+    enc_code: int = 0              # 1=AES128, 2=AES256 (default 1 w/ pass)
+    costfactor_exp: int = 0        # SCRYPT 2^N; 0 = auto
 
     def resolved_threads(self) -> int:
         return self.threads or os.cpu_count() or 1
@@ -168,7 +171,18 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
     encode_tokens = encode_tokens or (
         lambda chunk: _encode_tokens(chunk, settings))
 
+    crypto = None
+    if settings.passphrase is not None:
+        from ..crypto import CryptoContext, keys as ckeys
+        exp = settings.costfactor_exp or ckeys.default_costfactor_exp()
+        crypto = CryptoContext.fresh(settings.passphrase,
+                                     settings.enc_code or 1,
+                                     costfactor_exp=exp)
+
     magic = _magic_for(settings, total, eof_known=True)
+    if crypto is not None:
+        magic.enc_code = crypto.enc_code
+        magic.salt = crypto.salt
     out.write(magic.encode())
     written = magic.header_len
 
@@ -188,13 +202,19 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
             pos += csize
             eof = ci == len(chunk_sizes) - 1
             written += _compress_chunk(out, chunk, eof, ctype, cfg,
-                                       settings, pool, encode_tokens)
+                                       settings, pool, encode_tokens,
+                                       crypto)
             if hasher is not None:
                 hasher.update(chunk)
     finally:
         pool.shutdown()
     if hasher is not None:
         digest = hasher.digest()
+        if crypto is not None:
+            # the stored hash is encrypted in place with salt_pass as the
+            # salt (reference src/rzip.c:1214-1217); digests are >= 16
+            # bytes so CBC-CTS needs no padding
+            digest = crypto.encrypt_block(digest, crypto.salt_pass)
         out.write(digest)
         written += len(digest)
     return written
@@ -202,7 +222,8 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
 
 def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
                     cfg: BackendConfig, settings: Settings,
-                    pool: ThreadPoolExecutor, encode_tokens) -> int:
+                    pool: ThreadPoolExecutor, encode_tokens,
+                    crypto=None) -> int:
     csize = len(chunk)
     w = C.chunk_byte_width(max(csize, 1))
     kinds, lengths, dists = encode_tokens(chunk)
@@ -213,7 +234,6 @@ def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
     stream1 = rzip_host.literals_of(chunk, kinds, lengths)
 
     gate = _lz4_gate(settings)
-    blocks: List[Block] = []
     jobs = []
     for streamno, stream in ((0, stream0), (1, stream1)):
         for part in _split_stream(stream, settings.block_size):
@@ -234,7 +254,7 @@ def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
                      u_len=len(raw), payload=payload)
 
     blocks = list(pool.map(compress_one, jobs))
-    return write_chunk(out, w, eof, csize, blocks)
+    return write_chunk(out, w, eof, csize, blocks, crypto=crypto)
 
 
 def _lz4_gate(settings: Settings) -> Optional[Callable[[bytes], bool]]:
@@ -256,10 +276,15 @@ def decompress_stream(fd: BinaryIO, settings: Optional[Settings] = None
     fd.seek(magic.header_len - len(magic.comment))
     if magic.comment:
         fd.seek(len(magic.comment), io.SEEK_CUR)
+    crypto = None
     if magic.enc_code:
-        raise NotImplementedError(
-            "encrypted archive decode requires a passphrase API "
-            "(use lrzip_next_tpu.crypto)")
+        if settings.passphrase is None:
+            raise ValueError(
+                "archive is encrypted: a passphrase is required")
+        from ..crypto import CryptoContext
+        crypto = CryptoContext(settings.passphrase, magic.salt,
+                               magic.enc_code,
+                               minor_version=magic.minor_version)
 
     cfg = BackendConfig(
         compression_level=magic.compression_level or 7,
@@ -275,11 +300,12 @@ def decompress_stream(fd: BinaryIO, settings: Optional[Settings] = None
     cumulative_crc = 0
     try:
         while True:
-            hdr = read_chunk_header(fd)
+            hdr = read_chunk_header(fd, encrypted=crypto is not None)
             if hdr is None:
                 break
             chunk_data = _decompress_chunk(fd, hdr, magic, cfg, pool,
-                                           bytes(out), cumulative_crc)
+                                           bytes(out), cumulative_crc,
+                                           crypto)
             chunk_bytes, chunk_crc_ok = chunk_data
             out += chunk_bytes
             cumulative_crc = zlib.crc32(chunk_bytes, cumulative_crc)
@@ -296,6 +322,8 @@ def decompress_stream(fd: BinaryIO, settings: Optional[Settings] = None
                          f"{magic.expected_size}")
     if hasher is not None:
         stored = fd.read(hasher.digest_size)
+        if crypto is not None and len(stored) == hasher.digest_size:
+            stored = crypto.decrypt_block(stored, crypto.salt_pass)
         if len(stored) == hasher.digest_size and \
                 stored != hasher.digest():
             raise ValueError(
@@ -306,9 +334,9 @@ def decompress_stream(fd: BinaryIO, settings: Optional[Settings] = None
 
 def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
                       cfg: BackendConfig, pool: ThreadPoolExecutor,
-                      history: bytes, cumulative_crc: int
-                      ) -> Tuple[bytes, bool]:
-    reader = ChunkReader(fd, hdr)
+                      history: bytes, cumulative_crc: int,
+                      crypto=None) -> Tuple[bytes, bool]:
+    reader = ChunkReader(fd, hdr, crypto=crypto)
     refs0 = list(reader.blocks(0))
     refs1 = list(reader.blocks(1))
     payloads = {id(r): reader.read_payload(r) for r in refs0 + refs1}

@@ -119,40 +119,54 @@ def chain_runs(cand: jnp.ndarray, ok: jnp.ndarray
     return start, run_id
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def compact_runs(cand: jnp.ndarray, ok: jnp.ndarray, limit: jnp.ndarray,
+                 cap: int):
+    """Device-side run compaction: (starts, ends, srcs, n_runs).
+
+    Chain runs (lockstep candidate segments) are located and compacted
+    entirely on device so only O(#runs) data crosses the host link - the
+    per-position arrays (GBs at large chunk sizes) never leave HBM.
+    k-th start pairs with k-th end (runs cannot nest).  ``limit`` masks
+    positions past the real (unpadded) chunk; ``cap`` bounds the
+    compacted size (overflow detected via n_runs > cap).
+    """
+    m = cand.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    valid = ok & (idx < limit)
+    cont = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        valid[1:] & valid[:-1] & (cand[1:] == cand[:-1] + 1)])
+    start = valid & ~cont
+    is_end = valid & jnp.concatenate([~cont[1:], jnp.ones((1,), bool)])
+    n_runs = jnp.sum(start.astype(jnp.int32))
+    starts = jnp.nonzero(start, size=cap, fill_value=m)[0].astype(jnp.int32)
+    ends = jnp.nonzero(is_end, size=cap, fill_value=m)[0].astype(jnp.int32)
+    srcs = cand[jnp.minimum(starts, m - 1)]
+    return starts, ends, srcs, n_runs
+
+
 def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Compact device run data to host arrays (run_start, run_len, src).
-
-    ``limit`` drops window positions past the real (unpadded) length.
-    """
-    start, run_id = chain_runs(cand, ok)
-    start_np = np.asarray(start)
-    cand_np = np.asarray(cand)
-    ok_np = np.asarray(ok)
-    if limit is not None and limit < len(ok_np):
-        start_np = start_np[:limit]
-        cand_np = cand_np[:limit]
-        ok_np = ok_np[:limit]
-    starts = np.flatnonzero(start_np)
-    if len(starts) == 0:
+    """Run detection on device, then transfer only compacted run triples."""
+    m = cand.shape[0]
+    if limit is None:
+        limit = m
+    cap = max(min(m, 4096), m // 16)
+    starts, ends, srcs, n_runs = compact_runs(
+        cand, ok, jnp.int32(limit), cap)
+    k = int(n_runs)
+    if k > cap:  # rare: extremely fragmented matches; redo uncapped
+        starts, ends, srcs, n_runs = compact_runs(
+            cand, ok, jnp.int32(limit), m)
+        k = int(n_runs)
+    if k == 0:
         return (np.zeros(0, np.int64),) * 3
-    # run end: last consecutive ok position with lockstep chain
-    # compute via next-start boundaries on host (cheap: run-level arrays)
-    nxt = np.empty(len(starts), dtype=np.int64)
-    nxt[:-1] = starts[1:]
-    nxt[-1] = len(ok_np)
-    # within [start, nxt) the chain may break where ok goes false:
-    # find first not-ok-or-broken position after each start
-    # vectorised: positions where chain continues
-    cont = np.zeros(len(ok_np) + 1, dtype=bool)
-    cont[1:-1] = ok_np[1:] & ok_np[:-1] & (cand_np[1:] == cand_np[:-1] + 1)
-    # run length = number of consecutive cont positions after start
-    # compute run ends via cumulative trick: index of next False in cont
-    brk = np.flatnonzero(~cont)  # positions where a run cannot continue
-    ends = brk[np.searchsorted(brk, starts + 1)]
-    run_len = ends - starts
-    return starts.astype(np.int64), run_len.astype(np.int64), \
-        cand_np[starts].astype(np.int64)
+    starts_h = np.asarray(jax.device_get(starts[:k])).astype(np.int64)
+    ends_h = np.asarray(jax.device_get(ends[:k])).astype(np.int64)
+    srcs_h = np.asarray(jax.device_get(srcs[:k])).astype(np.int64)
+    run_len = ends_h - starts_h + 1
+    return starts_h, run_len, srcs_h
 
 
 def greedy_cover_from_runs(run_start: np.ndarray, run_len: np.ndarray,
