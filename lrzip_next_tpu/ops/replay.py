@@ -1,0 +1,91 @@
+"""TPU token replay: rzip decode as a parallel pointer-jumping kernel.
+
+The reference replays tokens strictly sequentially through the history
+fd (src/runzip.c:129-241).  Here the whole chunk resolves in parallel:
+
+1. token expansion - scatter token boundaries, segment-id via cummax,
+   per-byte source index ``src[i] = i - dist`` for match bytes and a
+   self-loop for literal bytes (whose values are known);
+2. pointer doubling - ``src = src[src]`` until fixpoint: every byte's
+   chain bottoms out at a literal byte in O(log max-chain) gathers
+   (cf. the parallel LZ decoding literature - ACEAPEX/Massively-Parallel
+   Lossless Data Decompression, see PAPERS.md).
+
+Overlapping matches (dist < len) are chains of depth len/dist and
+resolve in log of that; typical archives finish in a handful of rounds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("out_len",))
+def expand_tokens(starts: jnp.ndarray, is_match: jnp.ndarray,
+                  dists: jnp.ndarray, lit_base: jnp.ndarray,
+                  out_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-byte (src, lit_idx) maps from columnar tokens.
+
+    starts: int32[T] output offset of each token (sorted ascending).
+    is_match: bool[T]; dists: int32[T]; lit_base: int32[T] cumulative
+    literal offset per token.  Returns (src, lit_idx) of length out_len:
+    src[i] self-loop for literal bytes, i - dist for match bytes;
+    lit_idx[i] the literal-stream index for literal bytes (else 0).
+    """
+    t = starts.shape[0]
+    # segment id per byte: scatter token index at starts, then cummax
+    seg = jnp.zeros((out_len,), jnp.int32).at[starts].max(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
+    seg = jax.lax.cummax(seg)
+    pos = jnp.arange(out_len, dtype=jnp.int32)
+    within = pos - starts[seg]
+    m = is_match[seg]
+    src = jnp.where(m, pos - dists[seg], pos)
+    lit_idx = jnp.where(m, 0, lit_base[seg] + within)
+    return src, lit_idx
+
+
+@jax.jit
+def resolve_bytes(src: jnp.ndarray, lit_idx: jnp.ndarray,
+                  literals: jnp.ndarray) -> jnp.ndarray:
+    """Pointer-double src to literal roots, then gather literal values."""
+    def cond(state):
+        s, changed = state
+        return changed
+
+    def body(state):
+        s, _ = state
+        ns = s[s]
+        return ns, jnp.any(ns != s)
+
+    src, _ = jax.lax.while_loop(cond, body, (src, jnp.bool_(True)))
+    return literals[lit_idx[src]]
+
+
+def replay_tokens_tpu(kinds: np.ndarray, lengths: np.ndarray,
+                      dists: np.ndarray, literals: np.ndarray) -> np.ndarray:
+    """Full TPU-path replay of one chunk (no cross-chunk history:
+    in-archive distances are chunk-local, see models/pipeline.py)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    out_len = int(lengths.sum())
+    if out_len == 0:
+        return np.zeros(0, dtype=np.uint8)
+    ends = np.cumsum(lengths)
+    starts = (ends - lengths).astype(np.int32)
+    is_match = np.asarray(kinds) == 1
+    lit_lens = np.where(is_match, 0, lengths)
+    lit_base = (np.cumsum(lit_lens) - lit_lens).astype(np.int32)
+    literals = np.asarray(literals, dtype=np.uint8)
+    if len(literals) == 0:
+        literals = np.zeros(1, dtype=np.uint8)
+    src, lit_idx = expand_tokens(
+        jnp.asarray(starts), jnp.asarray(is_match),
+        jnp.asarray(np.asarray(dists, dtype=np.int64).astype(np.int32)),
+        jnp.asarray(lit_base), out_len)
+    out = resolve_bytes(src, lit_idx, jnp.asarray(literals))
+    return np.asarray(jax.device_get(out))

@@ -53,7 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.greedy_cover.restype = i64
         lib.greedy_cover.argtypes = [i64p, i64p, i64p, i64, i64, i64,
-                                     u8p, i64p, i64p]
+                                     ctypes.c_void_p, u8p, i64p, i64p]
         lib.replay_tokens.restype = i64
         lib.replay_tokens.argtypes = [u8p, i64p, i64p, i64, u8p, i64,
                                       u8p, i64, i64]
@@ -78,7 +78,8 @@ def _i64p(a: np.ndarray):
 
 
 def greedy_cover(run_start: np.ndarray, run_len: np.ndarray,
-                 run_src: np.ndarray, n: int, min_match: int
+                 run_src: np.ndarray, n: int, min_match: int,
+                 data: Optional[np.ndarray] = None
                  ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     lib = _load()
     if lib is None:
@@ -91,8 +92,13 @@ def greedy_cover(run_start: np.ndarray, run_len: np.ndarray,
     ok = np.empty(cap, dtype=np.uint8)
     ol = np.empty(cap, dtype=np.int64)
     od = np.empty(cap, dtype=np.int64)
+    dptr = None
+    if data is not None:
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        dptr = data.ctypes.data_as(ctypes.c_void_p)
     t = lib.greedy_cover(_i64p(run_start), _i64p(run_len), _i64p(run_src),
-                         nr, n, min_match, _u8p(ok), _i64p(ol), _i64p(od))
+                         nr, n, min_match, dptr, _u8p(ok), _i64p(ol),
+                         _i64p(od))
     return ok[:t].copy(), ol[:t].copy(), od[:t].copy()
 
 

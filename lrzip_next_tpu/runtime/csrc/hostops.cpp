@@ -25,16 +25,39 @@ extern "C" {
 // Walk verified chain runs left to right, emitting (kind, len, dist)
 // tokens. Returns number of tokens written. Output arrays must have
 // capacity >= 2 * n_runs + 2.
+//
+// Each run (s, r, src) comes from fingerprint-equal window chains
+// (lrzip_next_tpu/ops/matcher.py). When `data` is provided this walk is
+// also the exact verifier: emitted spans are re-derived with byte
+// compares (extending left into the literal gap and right past the
+// chain break - the reference extends both ways too,
+// src/rzip.c:431-534), so a fingerprint collision can only shrink or
+// drop a match, never corrupt the output.
 int64_t greedy_cover(const int64_t* run_start, const int64_t* run_len,
                      const int64_t* run_src, int64_t n_runs, int64_t n,
-                     int64_t min_match, uint8_t* out_kind,
-                     int64_t* out_len, int64_t* out_dist) {
+                     int64_t min_match, const uint8_t* data,
+                     uint8_t* out_kind, int64_t* out_len,
+                     int64_t* out_dist) {
     int64_t f = 0;  // emission frontier
     int64_t t = 0;
     for (int64_t i = 0; i < n_runs; i++) {
         int64_t s = run_start[i];
         int64_t span_end = s + run_len[i] + min_match - 1;
+        if (span_end <= f) continue;
+        int64_t dist = run_start[i] - run_src[i];
         int64_t start_at = s > f ? s : f;
+        if (dist < 1 || start_at - dist < 0) continue;
+        if (data != nullptr) {
+            // exact verification from start_at: find true match length
+            int64_t v = start_at;
+            while (v < n && data[v] == data[v - dist]) v++;
+            if (v - start_at < min_match) continue;
+            span_end = v;
+            // extend left over the literal gap (source must stay >= 0)
+            while (start_at > f && start_at - dist > 0 &&
+                   data[start_at - 1] == data[start_at - 1 - dist])
+                start_at--;
+        }
         if (span_end - start_at < min_match) continue;
         if (start_at > f) {
             out_kind[t] = 0;
@@ -44,7 +67,7 @@ int64_t greedy_cover(const int64_t* run_start, const int64_t* run_len,
         }
         out_kind[t] = 1;
         out_len[t] = span_end - start_at;
-        out_dist[t] = run_start[i] - run_src[i];
+        out_dist[t] = dist;
         t++;
         f = span_end;
         if (f >= n) break;
