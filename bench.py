@@ -46,7 +46,8 @@ def bench_matcher_device(data: np.ndarray) -> float:
     from lrzip_next_tpu.ops.matcher import compact_runs, match_candidates
 
     dev = jnp.asarray(data)
-    jax.block_until_ready(dev)
+    int(jnp.sum(dev[:1]))  # force upload (block_until_ready is async
+    # under the axon remote backend; scalar readback is the sync)
     n = data.shape[0]
     m = n - 31
     cap = max(min(m, 4096), m // 16)
@@ -54,7 +55,7 @@ def bench_matcher_device(data: np.ndarray) -> float:
     def step():
         cand, ok = match_candidates(dev)
         s, e, src, k = compact_runs(cand, ok, jnp.int32(m), cap)
-        return jax.block_until_ready((s, e, src, k))
+        return int(k)  # scalar readback forces completion
 
     step()  # compile
     times = []
@@ -69,6 +70,7 @@ def bench_matcher_device(data: np.ndarray) -> float:
 def bench_end_to_end(data: bytes) -> tuple:
     import lrzip_next_tpu as lrz
     s = lrz.Settings(method="zstd", use_tpu=True, compression_level=3)
+    lrz.compress(data, s)  # warm jit caches for this chunk bucket
     t0 = time.time()
     archive = lrz.compress(data, s)
     t1 = time.time()

@@ -1,9 +1,11 @@
-"""zpaq backend (CTYPE 8).
+"""zpaq backend (CTYPE 8): from-scratch ZPAQ codec in the native runtime.
 
-The reference vendors libzpaq 7.15 (ZPAQL VM + context-mixing predictor +
-arithmetic coder, src/lib/libzpaq/).  A from-scratch native equivalent is
-staged under lrzip_next_tpu/runtime; until it lands, zpaq-method archives
-raise a clear error instead of silently mis-decoding.
+The reference vendors libzpaq 7.15 (src/lib/libzpaq/); our equivalent
+(runtime/csrc/zpaq.cpp) implements the public-domain ZPAQ spec: decode
+runs the ZPAQL VM on any conforming archive (embedded LZ77/BWT/E8E9
+postprocessors included), encode emits an ICM/ISSE-chain context-mixing
+model readable by any conforming decoder - the reference's
+zpaq_decompress (libzpaq.h:1624-1634) included.
 """
 
 from __future__ import annotations
@@ -15,15 +17,22 @@ from . import BackendConfig, register
 
 
 def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
-    raise NotImplementedError(
-        "zpaq backend encode is not implemented yet "
-        "(native libzpaq-equivalent in progress)")
+    from .. import runtime
+    if not runtime.available():
+        raise NotImplementedError(
+            "zpaq backend needs the native runtime (g++ not available)")
+    level = min(max(cfg.zpaq_level or 4, 1), 5)
+    bs = min(max(cfg.zpaq_bs or 6, 1), 11)
+    return runtime.zpaq_encode(data, level, bs)
 
 
 def decompress(payload: bytes, u_len: int, cfg: BackendConfig) -> bytes:
-    raise NotImplementedError(
-        "zpaq backend decode is not implemented yet "
-        "(native libzpaq-equivalent in progress)")
+    from .. import runtime
+    if not runtime.available():
+        raise NotImplementedError(
+            "zpaq backend needs the native runtime (g++ not available)")
+    out = runtime.zpaq_decode(payload, u_len)
+    return out
 
 
 register("zpaq", CTYPE_ZPAQ, compress, decompress)

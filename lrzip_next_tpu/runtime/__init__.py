@@ -16,7 +16,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "csrc", "hostops.cpp")
+_SRCS = [os.path.join(_HERE, "csrc", "hostops.cpp"),
+         os.path.join(_HERE, "csrc", "zpaq.cpp")]
 _SO = os.path.join(_HERE, "_hostops.so")
 
 _lib = None
@@ -31,13 +32,14 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO) or \
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.exists(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(s)
+                for s in _SRCS):
             try:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", _SRC, "-o", _SO + ".tmp"],
-                    check=True, capture_output=True, timeout=120)
+                     "-std=c++17", *_SRCS, "-o", _SO + ".tmp"],
+                    check=True, capture_output=True, timeout=240)
                 os.replace(_SO + ".tmp", _SO)
             except (subprocess.SubprocessError, OSError):
                 _build_failed = True
@@ -61,6 +63,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lzo1x_encode.argtypes = [u8p, i64, u8p, i64, i32p]
         lib.lzo1x_decode.restype = i64
         lib.lzo1x_decode.argtypes = [u8p, i64, u8p, i64]
+        lib.zpaq_encode.restype = i64
+        lib.zpaq_encode.argtypes = [u8p, i64, u8p, i64, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_char_p,
+                                    ctypes.c_int]
+        lib.zpaq_decode.restype = i64
+        lib.zpaq_decode.argtypes = [u8p, i64, u8p, i64, ctypes.c_char_p,
+                                    ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -153,3 +162,37 @@ def lzo1x_decode(payload: bytes, u_len: int) -> Optional[bytes]:
     if ret != u_len:
         raise ValueError(f"LZO decoded {ret} bytes, expected {u_len}")
     return out.tobytes()
+
+
+def zpaq_encode(data: bytes, level: int = 4, block_bits: int = 6
+                ) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + len(data) // 8 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    err = ctypes.create_string_buffer(256)
+    ret = lib.zpaq_encode(_u8p(src), len(data), _u8p(out), cap,
+                          level, block_bits, err, 256)
+    if ret < 0:
+        msg = err.value.decode("utf-8", "replace")
+        if msg:
+            raise ValueError(f"zpaq encode failed: {msg}")
+        return None
+    return out[:ret].tobytes()
+
+
+def zpaq_decode(payload: bytes, u_len: int) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(max(u_len, 1), dtype=np.uint8)
+    err = ctypes.create_string_buffer(256)
+    ret = lib.zpaq_decode(_u8p(src), len(payload), _u8p(out), u_len,
+                          err, 256)
+    if ret < 0:
+        raise ValueError("corrupt zpaq block: "
+                         + err.value.decode("utf-8", "replace"))
+    return out[:ret].tobytes()

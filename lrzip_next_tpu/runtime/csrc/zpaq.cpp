@@ -1,0 +1,1025 @@
+// From-scratch ZPAQ level-1/2 codec for lrzip_next_tpu.
+//
+// Replaces the reference's vendored libzpaq 7.15 (reference
+// src/lib/libzpaq/) with an independent implementation of the
+// public-domain ZPAQ specification:
+//
+//  - ZPAQL virtual machine (interpreted; no JIT), executing the context
+//    computation (HCOMP) and post-processing (PCOMP) programs embedded
+//    in archives (semantics per the spec's instruction table; cf.
+//    reference libzpaq.cpp:1043-1270 for the same ISA)
+//  - context-mixing predictor with CONST/CM/ICM/MATCH/AVG/MIX2/MIX/
+//    ISSE/SSE components (spec section 5; cf. libzpaq.cpp:1779-2070)
+//  - carry-less range coder (spec section 4)
+//  - block/segment container framing with the standard 13-byte locator
+//    tag (spec section 3)
+//
+// Decode handles any conforming archive, including LZ77/BWT/E8E9
+// methods, because their inverses arrive as PCOMP bytecode and run in
+// the VM. Encode emits this implementation's own context-model config
+// (an order-0..5 ICM/ISSE chain + match model + mixer, the classic
+// "mid" topology) - valid input for any conforming decoder, including
+// the reference's.
+//
+// Interop gate: squash()/stretch() tables are rebuilt from the spec
+// formulas and verified against the spec's published checksums at init;
+// the bit-history state table is the spec's 1024-byte format constant.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cmath>
+#include <vector>
+#include <string>
+#include <stdexcept>
+
+#include "zpaq_statetable.inc"
+
+namespace tpz {
+
+typedef uint8_t U8;
+typedef uint16_t U16;
+typedef uint32_t U32;
+typedef uint64_t U64;
+
+struct Err : std::runtime_error {
+    explicit Err(const char* m) : std::runtime_error(m) {}
+};
+
+// ------------------------------------------------------------- I/O ----
+
+struct Source {
+    const U8* p;
+    int64_t pos, len;
+    int get() { return pos < len ? p[pos++] : -1; }
+};
+
+struct Sink {
+    U8* p;
+    int64_t pos, cap;
+    bool overflow = false;
+    void put(int c) {
+        if (pos < cap) p[pos++] = (U8)c;
+        else overflow = true;
+    }
+    void write(const U8* b, int64_t n) {
+        if (pos + n <= cap) { std::memcpy(p + pos, b, n); pos += n; }
+        else overflow = true;
+    }
+};
+
+// -------------------------------------------------------- tables ------
+
+static U16 g_squash[4096];
+static short g_stretch[32768];
+static int g_dt2k[256];
+static int g_dt[1024];
+static bool g_tables_ready = false;
+
+static void build_tables() {
+    if (g_tables_ready) return;
+    // squash(x) = floor(32768 / (1 + e^(-x/64))), clamped at the ends
+    for (int i = 0; i < 4096; i++) {
+        if (i < 1376) g_squash[i] = 0;
+        else if (i >= 2720) g_squash[i] = 32767;
+        else g_squash[i] =
+            (U16)(32768.0 / (1.0 + std::exp((i - 2048) * (-1.0 / 64))));
+    }
+    // stretch = rounded inverse of squash
+    for (int x = 16384; x < 32768; x++)
+        g_stretch[x] = (short)((int)(std::log((x + 0.5) / (32767.5 - x))
+                                     * 64 + 0.5 + 100000) - 100000);
+    for (int x = 0; x < 16384; x++)
+        g_stretch[x] = (short)(-g_stretch[32767 - x]);
+    // spec checksums guard against libm rounding drift
+    U32 sq = 0, st = 0;
+    for (int i = 32767; i >= 0; --i) st = st * 3 + (U32)g_stretch[i];
+    for (int i = 4095; i >= 0; --i) sq = sq * 3 + g_squash[i];
+    if (st != 3887533746u || sq != 2278286169u)
+        throw Err("squash/stretch tables diverge from ZPAQ spec");
+    for (int i = 0; i < 256; i++) g_dt2k[i] = i ? 2048 / i : 0;
+    for (int i = 0; i < 1024; i++) g_dt[i] = (1 << 17) / (i * 2 + 3) * 2;
+    g_tables_ready = true;
+}
+
+static inline int squash(int x) {
+    if (x < -2048) x = -2048;
+    if (x > 2047) x = 2047;
+    return g_squash[x + 2048];
+}
+static inline int stretch(int x) { return g_stretch[x & 32767]; }
+static inline int clamp2k(int x) {
+    return x < -2048 ? -2048 : x > 2047 ? 2047 : x;
+}
+static inline int clamp512k(int x) {
+    return x < -(1 << 19) ? -(1 << 19)
+         : x >= (1 << 19) ? (1 << 19) - 1 : x;
+}
+
+// component type codes and their header sizes
+enum { NONE = 0, CONS = 1, CM = 2, ICM = 3, MATCH = 4, AVG = 5,
+       MIX2 = 6, MIX = 7, ISSE = 8, SSE = 9 };
+static const int kCompSize[256] = {0, 2, 3, 2, 3, 4, 6, 6, 3, 5};
+
+// ------------------------------------------------------------ VM ------
+
+// ZPAQL machine. Header layout: hsize[2] hh hm ph pm n COMP 0 HCOMP 0,
+// with HCOMP relocated 128 bytes past COMP (guard gap).
+struct VM {
+    std::vector<U8> header;
+    int cend = 0, hbegin = 0, hend = 0;
+    std::vector<U8> m;
+    std::vector<U32> h, r;
+    U32 a = 0, b = 0, c = 0, d = 0;
+    int f = 0, pc = 0;
+    Sink* out = nullptr;  // OUT instruction target (postprocessing)
+
+    U32& H(U32 i) { return h[i & (h.size() - 1)]; }
+    U8& M(U32 i) { return m[i & (m.size() - 1)]; }
+
+    void clear() {
+        header.clear(); m.clear(); h.clear(); r.clear();
+        cend = hbegin = hend = 0;
+        a = b = c = d = 0; f = pc = 0;
+    }
+
+    int read_header(Source& in) {
+        int hsize = in.get();
+        int c2 = in.get();
+        if (c2 < 0) throw Err("EOF in header");
+        hsize += c2 * 256;
+        header.assign(hsize + 300, 0);
+        cend = hbegin = hend = 0;
+        header[cend++] = hsize & 255;
+        header[cend++] = hsize >> 8;
+        while (cend < 7) {
+            int v = in.get();
+            if (v < 0) throw Err("EOF in header");
+            header[cend++] = (U8)v;
+        }
+        int n = header[6];
+        for (int i = 0; i < n; i++) {
+            int type = in.get();
+            if (type < 0) throw Err("EOF in COMP");
+            header[cend++] = (U8)type;
+            int sz = kCompSize[type & 255];
+            if (sz < 1) throw Err("bad component type");
+            if (cend + sz > hsize) throw Err("COMP overflow");
+            for (int j = 1; j < sz; j++) {
+                int v = in.get();
+                if (v < 0) throw Err("EOF in COMP");
+                header[cend++] = (U8)v;
+            }
+        }
+        int e = in.get();
+        header[cend++] = (U8)e;
+        if (e != 0) throw Err("missing COMP end");
+        hbegin = hend = cend + 128;
+        if (hend > hsize + 129) throw Err("missing HCOMP");
+        while (hend < hsize + 129) {
+            int op = in.get();
+            if (op < 0) throw Err("EOF in HCOMP");
+            header[hend++] = (U8)op;
+        }
+        e = in.get();
+        header[hend++] = (U8)e;
+        if (e != 0) throw Err("missing HCOMP end");
+        return cend + hend - hbegin;
+    }
+
+    void init_mem(int hbits, int mbits) {
+        if (hbits > 28 || mbits > 28) throw Err("H/M too big");
+        h.assign((size_t)1 << hbits, 0);
+        m.assign((size_t)1 << mbits, 0);
+        r.assign(256, 0);
+        a = b = c = d = 0; f = pc = 0;
+    }
+    void init_h() { init_mem(header[2], header[3]); }
+    void init_p() { init_mem(header[4], header[5]); }
+
+    void run(U32 input) {
+        pc = hbegin;
+        a = input;
+        while (step()) {}
+    }
+
+    void div_(U32 x) { a = x ? a / x : 0; }
+    void mod_(U32 x) { a = x ? a % x : 0; }
+    template <class T> void swap_(T& x) { U32 t = (U32)x; x = (T)a; a = t; }
+
+    int step();
+};
+
+// One interpreted ZPAQL instruction; opcode map per the spec's table.
+int VM::step() {
+    const U8* hd = header.data();
+    int op = hd[pc++];
+    const int band = op & 7;   // operand selector for ALU group
+    if (op >= 128 && op < 240) {
+        // ALU: A op= operand
+        U32 v;
+        switch (band) {
+            case 0: v = a; break;
+            case 1: v = b; break;
+            case 2: v = c; break;
+            case 3: v = d; break;
+            case 4: v = M(b); break;
+            case 5: v = M(c); break;
+            case 6: v = H(d); break;
+            default: v = hd[pc++]; break;
+        }
+        switch (op >> 3) {
+            case 16: a += v; break;
+            case 17: a -= v; break;
+            case 18: a *= v; break;
+            case 19: div_(v); break;
+            case 20: mod_(v); break;
+            case 21: a &= v; break;
+            case 22: a &= ~v; break;
+            case 23: a |= v; break;
+            case 24: a ^= v; break;
+            case 25: a <<= (v & 31); break;
+            case 26: a >>= (v & 31); break;
+            case 27: f = (op == 216) ? 1 : (a == v); break;
+            case 28: f = (op == 224) ? 0 : (a < v); break;
+            case 29: f = (op == 232) ? 0 : (a > v); break;
+            default: throw Err("bad opcode");
+        }
+        return 1;
+    }
+    if (op >= 64 && op < 128) {
+        // MOV dst = src over {A,B,C,D,*B,*C,*D,imm}
+        U32 v;
+        switch (band) {
+            case 0: v = a; break;
+            case 1: v = b; break;
+            case 2: v = c; break;
+            case 3: v = d; break;
+            case 4: v = M(b); break;
+            case 5: v = M(c); break;
+            case 6: v = H(d); break;
+            default: v = hd[pc++]; break;
+        }
+        switch ((op - 64) >> 3) {
+            case 0: a = v; break;
+            case 1: b = v; break;
+            case 2: c = v; break;
+            case 3: d = v; break;
+            case 4: M(b) = (U8)v; break;
+            case 5: M(c) = (U8)v; break;
+            case 6: H(d) = v; break;
+            default: throw Err("bad opcode");
+        }
+        return 1;
+    }
+    switch (op) {
+        case 0: throw Err("ZPAQL execution error");
+        case 1: ++a; break;
+        case 2: --a; break;
+        case 3: a = ~a; break;
+        case 4: a = 0; break;
+        case 7: a = r[hd[pc++]]; break;
+        case 8: swap_(b); break;
+        case 9: ++b; break;
+        case 10: --b; break;
+        case 11: b = ~b; break;
+        case 12: b = 0; break;
+        case 15: b = r[hd[pc++]]; break;
+        case 16: swap_(c); break;
+        case 17: ++c; break;
+        case 18: --c; break;
+        case 19: c = ~c; break;
+        case 20: c = 0; break;
+        case 23: c = r[hd[pc++]]; break;
+        case 24: swap_(d); break;
+        case 25: ++d; break;
+        case 26: --d; break;
+        case 27: d = ~d; break;
+        case 28: d = 0; break;
+        case 31: d = r[hd[pc++]]; break;
+        case 32: swap_(M(b)); break;
+        case 33: ++M(b); break;
+        case 34: --M(b); break;
+        case 35: M(b) = ~M(b); break;
+        case 36: M(b) = 0; break;
+        case 39: if (f) pc += ((hd[pc] + 128) & 255) - 127; else ++pc;
+                 break;  // JT
+        case 40: swap_(M(c)); break;
+        case 41: ++M(c); break;
+        case 42: --M(c); break;
+        case 43: M(c) = ~M(c); break;
+        case 44: M(c) = 0; break;
+        case 47: if (!f) pc += ((hd[pc] + 128) & 255) - 127; else ++pc;
+                 break;  // JF
+        case 48: swap_(H(d)); break;
+        case 49: ++H(d); break;
+        case 50: --H(d); break;
+        case 51: H(d) = ~H(d); break;
+        case 52: H(d) = 0; break;
+        case 55: r[hd[pc++]] = a; break;
+        case 56: return 0;  // HALT
+        case 57: if (out) out->put(a & 255); break;  // OUT
+        case 59: a = (a + M(b) + 512) * 773; break;  // HASH
+        case 60: H(d) = (H(d) + a + 512) * 773; break;  // HASHD
+        case 63: pc += ((hd[pc] + 128) & 255) - 127; break;  // JMP
+        case 255:  // LJ
+            pc = hbegin + hd[pc] + 256 * hd[pc + 1];
+            if (pc >= hend) throw Err("LJ out of range");
+            break;
+        default: throw Err("bad opcode");
+    }
+    return 1;
+}
+
+// ------------------------------------------------------ predictor -----
+
+struct Comp {
+    U32 limit = 0, cxt = 0, a = 0, b = 0, c = 0;
+    std::vector<U32> cm;
+    std::vector<U8> ht;
+    std::vector<U16> a16;
+    U32& CM(U32 i) { return cm[i & (cm.size() - 1)]; }
+    U8& HT(U32 i) { return ht[i & (ht.size() - 1)]; }
+};
+
+struct Model {
+    VM& z;
+    Comp comp[256];
+    int c8 = 1, hmap4 = 1;
+    int p[256];
+    U32 hh[256];
+
+    explicit Model(VM& zr) : z(zr) {}
+
+    bool is_modeled() const { return z.header[6] != 0; }
+
+    static int st_next(int state, int y) {
+        return kStateTable[state * 4 + y];
+    }
+    static int st_cminit(int state) {
+        return ((kStateTable[state * 4 + 3] * 2 + 1) << 22)
+               / (kStateTable[state * 4 + 2]
+                  + kStateTable[state * 4 + 3] + 1);
+    }
+
+    void init() {
+        build_tables();
+        z.init_h();
+        c8 = 1; hmap4 = 1;
+        for (int i = 0; i < 256; i++) { hh[i] = 0; p[i] = 0; }
+        for (int i = 0; i < 256; i++) comp[i] = Comp();
+        int n = z.header[6];
+        const U8* cp = &z.header[7];
+        for (int i = 0; i < n; i++) {
+            Comp& cr = comp[i];
+            switch (cp[0]) {
+                case CONS:
+                    p[i] = (cp[1] - 128) * 4;
+                    break;
+                case CM:
+                    if (cp[1] > 28) throw Err("CM too big");
+                    cr.cm.assign((size_t)1 << cp[1], 0x80000000u);
+                    cr.limit = cp[2] * 4;
+                    break;
+                case ICM:
+                    if (cp[1] > 28) throw Err("ICM too big");
+                    cr.limit = 1023;
+                    cr.cm.resize(256);
+                    cr.ht.assign((size_t)64 << cp[1], 0);
+                    for (int j = 0; j < 256; j++)
+                        cr.cm[j] = st_cminit(j);
+                    break;
+                case MATCH:
+                    if (cp[1] > 28 || cp[2] > 28)
+                        throw Err("MATCH too big");
+                    cr.cm.assign((size_t)1 << cp[1], 0);
+                    cr.ht.assign((size_t)1 << cp[2], 0);
+                    cr.HT(0) = 1;
+                    break;
+                case AVG:
+                    if (cp[1] >= i || cp[2] >= i) throw Err("AVG ref");
+                    break;
+                case MIX2:
+                    if (cp[1] > 28) throw Err("MIX2 too big");
+                    if (cp[2] >= i || cp[3] >= i) throw Err("MIX2 ref");
+                    cr.c = (U32)1 << cp[1];
+                    cr.a16.assign((size_t)1 << cp[1], 32768);
+                    break;
+                case MIX: {
+                    if (cp[1] > 28) throw Err("MIX too big");
+                    if (cp[2] >= i) throw Err("MIX ref");
+                    if (cp[3] < 1 || cp[3] > i - cp[2])
+                        throw Err("MIX m range");
+                    int mm = cp[3];
+                    cr.c = (U32)1 << cp[1];
+                    cr.cm.assign(((size_t)1 << cp[1]) * mm, 65536 / mm);
+                    break;
+                }
+                case ISSE:
+                    if (cp[1] > 28) throw Err("ISSE too big");
+                    if (cp[2] >= i) throw Err("ISSE ref");
+                    cr.ht.assign((size_t)64 << cp[1], 0);
+                    cr.cm.resize(512);
+                    for (int j = 0; j < 256; j++) {
+                        cr.cm[j * 2] = 1 << 15;
+                        cr.cm[j * 2 + 1] = clamp512k(
+                            stretch(st_cminit(j) >> 8) * 1024);
+                    }
+                    break;
+                case SSE:
+                    if (cp[1] > 28) throw Err("SSE too big");
+                    if (cp[2] >= i) throw Err("SSE ref");
+                    if (cp[3] > cp[4] * 4) throw Err("SSE start");
+                    cr.cm.resize((size_t)32 << cp[1]);
+                    cr.limit = cp[4] * 4;
+                    for (size_t j = 0; j < cr.cm.size(); j++)
+                        cr.cm[j] = (U32)(squash(((int)j & 31) * 64 - 992)
+                                         << 17) | cp[3];
+                    break;
+                default: throw Err("unknown component");
+            }
+            cp += kCompSize[cp[0]];
+        }
+    }
+
+    // 16-slot hash-table row lookup with 3-way probing + LRU replace
+    size_t find(std::vector<U8>& ht, int sizebits, U32 cxt) {
+        int chk = (cxt >> sizebits) & 255;
+        size_t mask = ht.size() - 16;
+        size_t h0 = ((size_t)cxt * 16) & mask;
+        if (ht[h0] == chk) return h0;
+        size_t h1 = h0 ^ 16;
+        if (ht[h1] == chk) return h1;
+        size_t h2 = h0 ^ 32;
+        if (ht[h2] == chk) return h2;
+        size_t hx;
+        if (ht[h0 + 1] <= ht[h1 + 1] && ht[h0 + 1] <= ht[h2 + 1]) hx = h0;
+        else if (ht[h1 + 1] < ht[h2 + 1]) hx = h1;
+        else hx = h2;
+        std::memset(&ht[hx], 0, 16);
+        ht[hx] = (U8)chk;
+        return hx;
+    }
+
+    int predict() {
+        int n = z.header[6];
+        const U8* cp = &z.header[7];
+        for (int i = 0; i < n; i++) {
+            Comp& cr = comp[i];
+            switch (cp[0]) {
+                case CONS: break;
+                case CM:
+                    cr.cxt = hh[i] ^ hmap4;
+                    p[i] = stretch(cr.CM(cr.cxt) >> 17);
+                    break;
+                case ICM:
+                    if (c8 == 1 || (c8 & 0xf0) == 16)
+                        cr.c = (U32)find(cr.ht, cp[1] + 2,
+                                         hh[i] + 16 * c8);
+                    cr.cxt = cr.ht[cr.c + (hmap4 & 15)];
+                    p[i] = stretch(cr.CM(cr.cxt) >> 8);
+                    break;
+                case MATCH:
+                    if (cr.a == 0) p[i] = 0;
+                    else {
+                        cr.c = (cr.HT(cr.limit - cr.b)
+                                >> (7 - cr.cxt)) & 1;
+                        p[i] = stretch((g_dt2k[cr.a]
+                                        * (cr.c * -2 + 1)) & 32767);
+                    }
+                    break;
+                case AVG:
+                    p[i] = (p[cp[1]] * cp[3]
+                            + p[cp[2]] * (256 - cp[3])) >> 8;
+                    break;
+                case MIX2: {
+                    cr.cxt = (hh[i] + (c8 & cp[5])) & (cr.c - 1);
+                    int w = cr.a16[cr.cxt];
+                    p[i] = (w * p[cp[2]] + (65536 - w) * p[cp[3]]) >> 16;
+                    break;
+                }
+                case MIX: {
+                    int mm = cp[3];
+                    cr.cxt = hh[i] + (c8 & cp[5]);
+                    cr.cxt = (cr.cxt & (cr.c - 1)) * mm;
+                    int* wt = (int*)&cr.cm[cr.cxt];
+                    int s = 0;
+                    for (int j = 0; j < mm; j++)
+                        s += (wt[j] >> 8) * p[cp[2] + j];
+                    p[i] = clamp2k(s >> 8);
+                    break;
+                }
+                case ISSE: {
+                    if (c8 == 1 || (c8 & 0xf0) == 16)
+                        cr.c = (U32)find(cr.ht, cp[1] + 2,
+                                         hh[i] + 16 * c8);
+                    cr.cxt = cr.ht[cr.c + (hmap4 & 15)];
+                    int* wt = (int*)&cr.cm[cr.cxt * 2];
+                    p[i] = clamp2k((wt[0] * p[cp[2]] + wt[1] * 64) >> 16);
+                    break;
+                }
+                case SSE: {
+                    cr.cxt = (hh[i] + c8) * 32;
+                    int pq = p[cp[2]] + 992;
+                    if (pq < 0) pq = 0;
+                    if (pq > 1983) pq = 1983;
+                    int wt = pq & 63;
+                    pq >>= 6;
+                    cr.cxt += pq;
+                    p[i] = stretch(((cr.CM(cr.cxt) >> 10) * (64 - wt)
+                                    + (cr.CM(cr.cxt + 1) >> 10) * wt)
+                                   >> 13);
+                    cr.cxt += wt >> 5;
+                    break;
+                }
+                default: throw Err("predict: bad component");
+            }
+            cp += kCompSize[cp[0]];
+        }
+        return squash(p[n - 1]);
+    }
+
+    void train(Comp& cr, int y) {
+        U32& pn = cr.CM(cr.cxt);
+        U32 count = pn & 0x3ff;
+        int error = y * 32767 - (int)(pn >> 17);
+        pn += (U32)((error * g_dt[count]) & -1024)
+              + (count < cr.limit);
+    }
+
+    void update(int y) {
+        const U8* cp = &z.header[7];
+        int n = z.header[6];
+        for (int i = 0; i < n; i++) {
+            Comp& cr = comp[i];
+            switch (cp[0]) {
+                case CONS: break;
+                case CM: train(cr, y); break;
+                case ICM: {
+                    cr.ht[cr.c + (hmap4 & 15)] =
+                        (U8)st_next(cr.ht[cr.c + (hmap4 & 15)], y);
+                    U32& pn = cr.CM(cr.cxt);
+                    pn += (U32)((int)(y * 32767 - (int)(pn >> 8)) >> 2);
+                    break;
+                }
+                case MATCH:
+                    if ((int)cr.c != y) cr.a = 0;
+                    cr.HT(cr.limit) = (U8)(cr.HT(cr.limit) * 2 + y);
+                    if (++cr.cxt == 8) {
+                        cr.cxt = 0;
+                        ++cr.limit;
+                        cr.limit &= (U32)(cr.ht.size() - 1);
+                        if (cr.a == 0) {
+                            cr.b = cr.limit - cr.CM(hh[i]);
+                            if (cr.b & (cr.ht.size() - 1))
+                                while (cr.a < 255
+                                       && cr.HT(cr.limit - cr.a - 1)
+                                          == cr.HT(cr.limit - cr.a
+                                                   - cr.b - 1))
+                                    ++cr.a;
+                        } else cr.a += cr.a < 255;
+                        cr.CM(hh[i]) = cr.limit;
+                    }
+                    break;
+                case AVG: break;
+                case MIX2: {
+                    int err = (y * 32767 - squash(p[i])) * cp[4] >> 5;
+                    int w = cr.a16[cr.cxt];
+                    w += (err * (p[cp[2]] - p[cp[3]]) + (1 << 12)) >> 13;
+                    if (w < 0) w = 0;
+                    if (w > 65535) w = 65535;
+                    cr.a16[cr.cxt] = (U16)w;
+                    break;
+                }
+                case MIX: {
+                    int mm = cp[3];
+                    int err = (y * 32767 - squash(p[i])) * cp[4] >> 4;
+                    int* wt = (int*)&cr.cm[cr.cxt];
+                    for (int j = 0; j < mm; j++)
+                        wt[j] = clamp512k(
+                            wt[j] + ((err * p[cp[2] + j] + (1 << 12))
+                                     >> 13));
+                    break;
+                }
+                case ISSE: {
+                    int err = y * 32767 - squash(p[i]);
+                    int* wt = (int*)&cr.cm[cr.cxt * 2];
+                    wt[0] = clamp512k(
+                        wt[0] + ((err * p[cp[2]] + (1 << 12)) >> 13));
+                    wt[1] = clamp512k(wt[1] + ((err + 16) >> 5));
+                    cr.ht[cr.c + (hmap4 & 15)] =
+                        (U8)st_next(cr.cxt, y);
+                    break;
+                }
+                case SSE: train(cr, y); break;
+                default: throw Err("update: bad component");
+            }
+            cp += kCompSize[cp[0]];
+        }
+        // advance bit history / byte boundary
+        c8 += c8 + y;
+        if (c8 >= 256) {
+            z.run(c8 - 256);
+            hmap4 = 1;
+            c8 = 1;
+            for (int i = 0; i < n; i++) hh[i] = z.H(i);
+        } else if (c8 >= 16 && c8 < 32) {
+            hmap4 = (hmap4 & 0xf) << 5 | y << 4 | 1;
+        } else {
+            hmap4 = (hmap4 & 0x1f0) | (((hmap4 & 0xf) * 2 + y) & 0xf);
+        }
+    }
+};
+
+// --------------------------------------------------- range coder ------
+
+struct RangeDecoder {
+    Source* in = nullptr;
+    U32 low = 1, high = 0xFFFFFFFF, curr = 0;
+    Model* pr = nullptr;
+
+    void init(bool modeled) {
+        if (modeled) { low = 1; high = 0xFFFFFFFF; curr = 0; }
+        else low = high = curr = 0;
+    }
+
+    int decode(int p) {
+        if (curr < low || curr > high) throw Err("archive corrupted");
+        U32 mid = low + (U32)(((U64)(high - low) * (U32)p) >> 16);
+        int y;
+        if (curr <= mid) { y = 1; high = mid; }
+        else { y = 0; low = mid + 1; }
+        while ((high ^ low) < 0x1000000) {
+            high = high << 8 | 255;
+            low = low << 8;
+            low += (low == 0);
+            int ch = in->get();
+            if (ch < 0) throw Err("unexpected EOF");
+            curr = curr << 8 | ch;
+        }
+        return y;
+    }
+
+    int decompress() {
+        if (pr->is_modeled()) {
+            if (curr == 0)
+                for (int i = 0; i < 4; i++)
+                    curr = curr << 8 | (in->get() & 255);
+            if (decode(0)) {
+                if (curr != 0) throw Err("decoding end of stream");
+                return -1;
+            }
+            int ch = 1;
+            while (ch < 256) {
+                int p = pr->predict() * 2 + 1;
+                ch += ch + decode(p);
+                pr->update(ch & 1);
+            }
+            return ch - 256;
+        }
+        // stored mode: 4-byte count then raw bytes
+        if (curr == 0) {
+            for (int i = 0; i < 4; i++) curr = curr << 8 | (in->get() & 255);
+            if (curr == 0) return -1;
+        }
+        --curr;
+        return in->get();
+    }
+};
+
+struct RangeEncoder {
+    Sink* out = nullptr;
+    U32 low = 1, high = 0xFFFFFFFF;
+    Model* pr = nullptr;
+
+    void init() { low = 1; high = 0xFFFFFFFF; pr->init(); }
+
+    void encode(int y, int p) {
+        U32 mid = low + (U32)(((U64)(high - low) * (U32)p) >> 16);
+        if (y) high = mid; else low = mid + 1;
+        while ((high ^ low) < 0x1000000) {
+            out->put(high >> 24);
+            high = high << 8 | 255;
+            low = low << 8;
+            low += (low == 0);
+        }
+    }
+
+    void compress(int ch) {
+        if (ch == -1) { encode(1, 0); return; }
+        encode(0, 0);
+        for (int i = 7; i >= 0; --i) {
+            int p = pr->predict() * 2 + 1;
+            int y = (ch >> i) & 1;
+            encode(y, p);
+            pr->update(y);
+        }
+    }
+
+    void flush_eos() {
+        // emit remaining range state: the reference emits nothing here;
+        // the 4 zero bytes after EOS come from the segment trailer
+    }
+};
+
+// -------------------------------------------------- decompresser ------
+
+static const U8 kTag[13] = {0x37, 0x6b, 0x53, 0x74, 0xa0, 0x31, 0x83,
+                            0xd3, 0x8c, 0xb2, 0x28, 0xb0, 0xd3};
+
+// PCOMP loader/driver: PASS or PROG psize[2] pcomp..., then data
+struct PostProc {
+    int state = 0;  // 0 init, 1 pass, 2..4 loading, 5 run
+    int psize = 0;
+    VM z;
+
+    void init(int ph, int pm) {
+        state = 0;
+        psize = 0;
+        z.clear();
+        z.header.assign(300, 0);
+        z.header[4] = (U8)ph;
+        z.header[5] = (U8)pm;
+    }
+
+    void write(int ch, Sink& sink) {
+        switch (state) {
+            case 0:
+                if (ch < 0) throw Err("unexpected EOS");
+                if (ch > 1) throw Err("unknown post processing type");
+                state = ch + 1;
+                break;
+            case 1:  // PASS
+                if (ch >= 0) sink.put(ch);
+                break;
+            case 2:
+                if (ch < 0) throw Err("unexpected EOS");
+                psize = ch;
+                state = 3;
+                break;
+            case 3: {
+                if (ch < 0) throw Err("unexpected EOS");
+                psize += ch * 256;
+                if (psize < 1) throw Err("empty PCOMP");
+                int ph = z.header[4], pm = z.header[5];
+                z.header.assign(psize + 300, 0);
+                z.cend = 8;
+                z.hbegin = z.hend = z.cend + 128;
+                z.header[4] = (U8)ph;
+                z.header[5] = (U8)pm;
+                state = 4;
+                break;
+            }
+            case 4:
+                if (ch < 0) throw Err("unexpected EOS");
+                z.header[z.hend++] = (U8)ch;
+                if (z.hend - z.hbegin == psize) {
+                    int hsize = z.cend - 2 + z.hend - z.hbegin;
+                    z.header[0] = hsize & 255;
+                    z.header[1] = hsize >> 8;
+                    z.init_p();
+                    z.out = &sink;
+                    state = 5;
+                }
+                break;
+            case 5:
+                z.out = &sink;
+                if (ch >= 0) z.run((U32)ch);
+                else {
+                    // EOS: run with all-ones input per spec
+                    z.run((U32)-1);
+                }
+                break;
+        }
+    }
+};
+
+// Decompress every block in the stream.
+static int64_t decode_stream(Source& in, Sink& out) {
+    build_tables();
+    for (;;) {
+        // scan for locator tag + "zPQ"
+        int matched = 0;
+        int ch;
+        while ((ch = in.get()) != -1) {
+            if (ch == (matched < 13 ? kTag[matched]
+                                    : "zPQ"[matched - 13])) {
+                if (++matched == 16) break;
+            } else {
+                matched = (ch == kTag[0]) ? 1 : 0;
+            }
+        }
+        if (ch == -1) break;  // no more blocks
+        int level = in.get();
+        if (level != 1 && level != 2) throw Err("unsupported ZPAQ level");
+        if (in.get() != 1) throw Err("unsupported ZPAQL type");
+        VM z;
+        z.read_header(in);
+        if (level == 1 && z.header[6] == 0)
+            throw Err("level 1 needs at least 1 component");
+        Model model(z);
+        RangeDecoder dec;
+        dec.in = &in;
+        dec.pr = &model;
+        bool first_seg = true;
+        PostProc pp;
+        for (;;) {
+            int c1 = in.get();
+            if (c1 == 255) break;  // end of block
+            if (c1 != 1) throw Err("missing segment");
+            while ((c1 = in.get()) != 0)
+                if (c1 < 0) throw Err("EOF in filename");
+            while ((c1 = in.get()) != 0)
+                if (c1 < 0) throw Err("EOF in comment");
+            if (in.get() != 0) throw Err("missing reserved byte");
+            if (first_seg) {
+                model.init();
+                dec.init(model.is_modeled());
+                pp.init(z.header[4], z.header[5]);
+                first_seg = false;
+            }
+            // decompress segment data until EOS, feeding postprocessor.
+            // The 4 zero trailer bytes are consumed by the decoder's EOS
+            // normalisation (curr must land at 0), so the checksum
+            // marker follows immediately.
+            for (;;) {
+                int c2 = dec.decompress();
+                pp.write(c2, out);
+                if (c2 == -1) break;
+            }
+            int cs = in.get();
+            if (cs == 253) {
+                for (int i = 0; i < 20; i++) in.get();  // skip sha1
+            } else if (cs != 254) {
+                throw Err("missing end of segment marker");
+            }
+        }
+        if (out.overflow) throw Err("output buffer overflow");
+    }
+    return out.pos;
+}
+
+// ----------------------------------------------------- compressor -----
+
+// Tiny ZPAQL assembler for our built-in model's HCOMP program.
+struct Asm {
+    std::vector<U8> code;
+    void op(int o) { code.push_back((U8)o); }
+    void op(int o, int n) { code.push_back((U8)o); code.push_back((U8)n); }
+};
+
+// Build a COMP+HCOMP header for an order-0..5 ICM/ISSE chain with a
+// match model and mixer (the classic "mid" topology), sized by sb.
+static std::vector<U8> build_model(int sb) {
+    // components
+    std::vector<U8> comp;
+    auto add = [&](std::initializer_list<int> v) {
+        for (int x : v) comp.push_back((U8)x);
+    };
+    add({ICM, 5});                    // 0: order-0 indirect model
+    add({ISSE, 13, 0});               // 1: order 1
+    add({ISSE, sb + 1, 1});           // 2: order 2
+    add({ISSE, sb + 2, 2});           // 3: order 3
+    add({ISSE, sb + 2, 3});           // 4: order 4
+    add({ISSE, sb + 3, 4});           // 5: order 5
+    add({MATCH, sb + 6, sb + 8});     // 6: long match model
+    add({MIX, 16, 0, 7, 24, 255});    // 7: final mixer over 0..6
+    int n = 8;
+
+    // HCOMP: ring-store the byte, then hash chains h[1..5] of orders
+    // 1..5, h[6] = order-7 hash for the match model, h[7] = byte<<8
+    // for the mixer context.
+    Asm a;
+    a.op(17);        // C++
+    a.op(104);       // *C=A   (store input byte in M[c])
+    a.op(74);        // B=C
+    a.op(4);         // A=0
+    a.op(95, 1);     // D= 1
+    a.op(59);        // HASH   (a = (a + M[b] + 512) * 773)
+    a.op(112);       // *D=A   -> h[1] order 1
+    for (int k = 0; k < 4; k++) {  // h[2]..h[5], orders 2..5
+        a.op(10);    // B--
+        a.op(25);    // D++
+        a.op(59);    // HASH
+        a.op(112);   // *D=A
+    }
+    a.op(25);        // D++ (d=6)
+    a.op(10);        // B--
+    a.op(59);        // HASH (order 6)
+    a.op(10);        // B--
+    a.op(59);        // HASH (order 7)
+    a.op(112);       // *D=A -> h[6] for MATCH
+    a.op(25);        // D++ (d=7)
+    a.op(69);        // A=*C  (current byte)
+    a.op(207, 8);    // A<<= 8
+    a.op(112);       // *D=A -> h[7] mixer context
+    a.op(56);        // HALT
+
+    std::vector<U8> hdr;
+    // hsize = hh hm ph pm n (5) + COMP + end + HCOMP + end
+    int hsize = 5 + (int)comp.size() + 1 + (int)a.code.size() + 1;
+    hdr.push_back(hsize & 255);
+    hdr.push_back(hsize >> 8);
+    hdr.push_back(3);   // hh: 2^3 = 8 context slots (n = 8)
+    hdr.push_back(3);   // hm: 8-byte history ring
+    hdr.push_back(0);   // ph
+    hdr.push_back(0);   // pm
+    hdr.push_back((U8)n);
+    for (U8 x : comp) hdr.push_back(x);
+    hdr.push_back(0);   // COMP end
+    for (U8 x : a.code) hdr.push_back(x);
+    hdr.push_back(0);   // HCOMP end
+    return hdr;
+}
+
+static int64_t encode_stream(Source& in, Sink& out, int level, int bs) {
+    build_tables();
+    if (bs < 0) bs = 4;
+    if (bs > 11) bs = 11;
+    int64_t block_cap = ((int64_t)0x100000 << bs) - 4096;
+    // model size scales with level and block size
+    int sb = 16 + (level >= 4) + 2 * (level >= 5);
+    if (bs < 5) sb -= (5 - bs);
+    if (sb < 10) sb = 10;
+
+    while (in.pos < in.len) {
+        int64_t n = in.len - in.pos;
+        if (n > block_cap) n = block_cap;
+
+        // assemble model header for this block
+        std::vector<U8> hdr = build_model(sb);
+        // VM wants the full relocated form; reuse read_header
+        Source hs{hdr.data(), 0, (int64_t)hdr.size()};
+        VM z;
+        z.read_header(hs);
+        Model model(z);
+        RangeEncoder enc;
+        enc.out = &out;
+        enc.pr = &model;
+
+        // block framing: tag + "zPQ" + level byte + 1 + header
+        out.write(kTag, 13);
+        out.put('z'); out.put('P'); out.put('Q');
+        out.put(1);  // level 1 (modeled)
+        out.put(1);
+        for (U8 x : hdr) out.put(x);
+        // segment: empty filename, size comment, reserved
+        out.put(1);
+        out.put(0);
+        char cbuf[32];
+        int cl = std::snprintf(cbuf, sizeof cbuf, "%lld",
+                               (long long)n);
+        for (int i = 0; i < cl; i++) out.put(cbuf[i]);
+        out.put(0);
+        out.put(0);
+        enc.init();
+        enc.compress(0);  // PCOMP flag: 0 = PASS (no postprocessor)
+        for (int64_t i = 0; i < n; i++)
+            enc.compress(in.p[in.pos + i]);
+        in.pos += n;
+        enc.compress(-1);
+        out.put(0); out.put(0); out.put(0); out.put(0);
+        out.put(254);  // no checksum (reference decoder discards it)
+        out.put(255);  // end of block
+        if (out.overflow) return -1;
+    }
+    return out.pos;
+}
+
+}  // namespace tpz
+
+extern "C" {
+
+// Decompress a zpaq stream; returns output length or -1 on error.
+int64_t zpaq_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
+                    int64_t out_cap, char* errbuf, int errcap) {
+    try {
+        tpz::Source src{in, 0, in_len};
+        tpz::Sink sink{out, 0, out_cap};
+        return tpz::decode_stream(src, sink);
+    } catch (const std::exception& e) {
+        if (errbuf && errcap > 0) {
+            std::snprintf(errbuf, errcap, "%s", e.what());
+        }
+        return -1;
+    }
+}
+
+// Compress with the built-in CM model; returns output length, -1 on
+// overflow/error.
+int64_t zpaq_encode(const uint8_t* in, int64_t in_len, uint8_t* out,
+                    int64_t out_cap, int level, int block_bits,
+                    char* errbuf, int errcap) {
+    try {
+        tpz::Source src{in, 0, in_len};
+        tpz::Sink sink{out, 0, out_cap};
+        return tpz::encode_stream(src, sink, level, block_bits);
+    } catch (const std::exception& e) {
+        if (errbuf && errcap > 0) {
+            std::snprintf(errbuf, errcap, "%s", e.what());
+        }
+        return -1;
+    }
+}
+
+}  // extern "C"

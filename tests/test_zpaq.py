@@ -1,0 +1,71 @@
+"""From-scratch zpaq codec: round trips, levels, archive integration."""
+
+import numpy as np
+import pytest
+
+from lrzip_next_tpu import runtime
+
+pytestmark = pytest.mark.skipif(not runtime.available(),
+                                reason="native runtime unavailable")
+
+
+def test_roundtrip_text(corpus_factory):
+    data = corpus_factory(60_000, "text")
+    c = runtime.zpaq_encode(data, 4, 6)
+    assert len(c) < len(data) // 3  # CM should crush repetitive text
+    assert runtime.zpaq_decode(c, len(data)) == data
+
+
+def test_roundtrip_random(corpus_factory):
+    data = corpus_factory(20_000, "random")
+    c = runtime.zpaq_encode(data, 3, 4)
+    assert runtime.zpaq_decode(c, len(data)) == data
+
+
+def test_roundtrip_zeros():
+    data = bytes(50_000)
+    c = runtime.zpaq_encode(data, 4, 6)
+    assert len(c) < 1000
+    assert runtime.zpaq_decode(c, len(data)) == data
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 4, 5])
+def test_levels(level, corpus_factory):
+    data = corpus_factory(30_000, "mixed")
+    c = runtime.zpaq_encode(data, level, 4)
+    assert runtime.zpaq_decode(c, len(data)) == data
+
+
+def test_multi_block():
+    # block_bits=1 -> 2MB-4096 blocks; use small input spanning blocks
+    data = (b"multi block zpaq stream test " * 1000)[:25_000]
+    c = runtime.zpaq_encode(data, 2, 1)
+    assert runtime.zpaq_decode(c, len(data)) == data
+
+
+def test_empty_and_tiny():
+    for n in (0, 1, 5):
+        data = b"x" * n
+        c = runtime.zpaq_encode(data, 3, 4)
+        assert runtime.zpaq_decode(c, n) == data
+
+
+def test_corrupt_detected(corpus_factory):
+    data = corpus_factory(20_000, "text")
+    c = bytearray(runtime.zpaq_encode(data, 3, 4))
+    c[len(c) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        runtime.zpaq_decode(bytes(c), len(data))
+
+
+def test_archive_integration(corpus_factory):
+    import lrzip_next_tpu as lrz
+    from lrzip_next_tpu.format.magic import MagicHeader
+    from lrzip_next_tpu.format import constants as C
+    data = corpus_factory(80_000, "text")
+    s = lrz.Settings(method="zpaq", zpaq_level=3, zpaq_bs=4)
+    archive = lrz.compress(data, s)
+    magic = MagicHeader.decode(archive)
+    assert magic.method_code == C.MAGIC_CTYPE_ZPAQ
+    assert magic.zpaq_level == 3 and magic.zpaq_bs == 4
+    assert lrz.decompress(archive) == data
