@@ -239,6 +239,194 @@ def _x86_conv(data: bytes, ip: int, encoding: bool) -> bytes:
     return bytes(a)
 
 
+# ----------------------------------------------------------- BCJ: IA64
+
+def _ia64_conv(data: bytes, ip: int, encoding: bool) -> bytes:
+    """IA64 branch conversion - exact transliteration of
+    z7_BranchConv_IA64 (reference src/lzma/C/Bra.c:343-430): 16-byte
+    bundles, template byte selects which 41-bit slots hold branches."""
+    a = bytearray(data)
+    size = len(a) & ~15
+    if size == 0:
+        return data
+    M32 = 0xFFFFFFFF
+    pc = ((ip - 16) & M32) >> 3
+    p = 0
+    while p < size:
+        m = (0x334B0000 >> (a[p] & 0x1E)) & 3
+        p += 16
+        pc = (pc + 2) & M32
+        if not m:
+            continue
+        q = p + m * 5 - 20
+        while True:
+            t = a[q] | (a[q + 1] << 8)
+            z = (a[q + 1] | (a[q + 2] << 8) | (a[q + 3] << 16)
+                 | (a[q + 4] << 24)) >> m
+            q += 5
+            if ((t >> m) & (0x70 << 1)) == 0 and \
+                    ((z - (0x5000000 << 1)) & (0xF000000 << 1)) == 0:
+                v = ((0x8FFFFF << 1) | 1) & z
+                z ^= v
+                if encoding:
+                    c = pc & ((0x1FFFFF << 1) | 1)
+                    v = (v + c) & M32
+                else:
+                    c = (pc | (~((0x1FFFFF << 1) | 1) & M32)) & M32
+                    v = (v - c) & M32
+                v &= ~(0x600000 << 1) & M32
+                v = (v + (0x700000 << 1)) & M32
+                v &= (0x8FFFFF << 1) | 1
+                z |= v
+                z = (z << m) & M32
+                a[q - 4] = z & 0xFF
+                a[q - 3] = (z >> 8) & 0xFF
+                a[q - 2] = (z >> 16) & 0xFF
+                a[q - 1] = (z >> 24) & 0xFF
+            m = (m + 1) & 3
+            if not m:
+                break
+    return bytes(a)
+
+
+# ---------------------------------------------------------- BCJ: RISCV
+
+def _riscv_check1(v: int, b: int) -> bool:
+    return (((b - 3) ^ (v << 8)) & (0xF8000 + 3)) & 0xFFFFFFFF == 0
+
+
+def _riscv_check2(v: int, r: int) -> bool:
+    return (((v - ((3 << 12) | (2 << 7) | 8)) << 18) & 0xFFFFFFFF) \
+        < (r & 0x1D)
+
+
+def _riscv_conv(data: bytes, ip: int, encoding: bool) -> bytes:
+    """RISC-V JAL/AUIPC conversion - exact transliteration of
+    z7_BranchConv_RISCV_Enc/Dec (reference src/lzma/C/Bra.c:480-709)."""
+    a = bytearray(data)
+    M32 = 0xFFFFFFFF
+    size = len(a) & ~1
+    if size <= 6:
+        return data
+    lim = size - 6
+    p = 0
+
+    def u16(i):
+        return a[i] | (a[i + 1] << 8)
+
+    def u32(i):
+        return a[i] | (a[i + 1] << 8) | (a[i + 2] << 16) | (a[i + 3] << 24)
+
+    def set32(i, v):
+        a[i] = v & 0xFF
+        a[i + 1] = (v >> 8) & 0xFF
+        a[i + 2] = (v >> 16) & 0xFF
+        a[i + 3] = (v >> 24) & 0xFF
+
+    while True:
+        # scan for JAL/AUIPC opcode low bytes (0x6f/0xef/0x17/0x97)
+        while True:
+            if p >= lim:
+                return bytes(a)
+            av = ((u16(p) ^ 0x10) + 1) & M32
+            if (av & 0x77) == 0:
+                break
+            av = ((u16(p + 2) ^ 0x10) + 1) & M32
+            p += 4
+            if (av & 0x77) == 0:
+                p -= 2
+                if p >= lim:
+                    return bytes(a)
+                break
+        v = av
+        if encoding:
+            af = u32(p)
+            if (v & 8) == 0:  # JAL
+                if (v - 0x100) & 0xD80:
+                    p += 2
+                    continue
+                w = (((af & (1 << 31)) >> 11)
+                     | ((af & (0x3FF << 21)) >> 20)
+                     | ((af & (1 << 20)) >> 9)
+                     | (af & (0xFF << 12)))
+                w = (w + ip + p) & M32
+                a[p + 1] = ((w >> 13) & 0xF0) | ((af >> 8) & 0xF)
+                a[p + 2] = (w >> 9) & 0xFF
+                a[p + 3] = (w >> 1) & 0xFF
+                p += 4
+                continue
+            # AUIPC
+            if v & 0xE80:  # not x0/x2
+                b = u32(p + 4)
+                if _riscv_check1(v, b):
+                    set32(p, ((b << 12) & M32) | (0x17 + (2 << 7)))
+                    af &= 0xFFFFF000
+                    af = (af + ((b >> 20) - ((b >> 19) & 0x1000))) & M32
+                    af = (af + ip + p) & M32
+                    # store big-endian
+                    a[p + 4] = (af >> 24) & 0xFF
+                    a[p + 5] = (af >> 16) & 0xFF
+                    a[p + 6] = (af >> 8) & 0xFF
+                    a[p + 7] = af & 0xFF
+                    p += 8
+                else:
+                    p += 6
+            else:
+                r = af >> 27
+                if _riscv_check2(v, r):
+                    v2 = u32(p + 4)
+                    set32(p, ((r << 7) + 0x17 + (v2 & 0xFFFFF000)) & M32)
+                    set32(p + 4, ((af >> 12) | ((v2 << 20) & M32)) & M32)
+                    p += 8
+                else:
+                    p += 4
+        else:  # decode
+            if (v & 8) == 0:  # JAL
+                v = (v - (0x100 - 0x7F)) & M32
+                if v & 0xD80:
+                    p += 2
+                    continue
+                a_old = (v + (0xEF - 0x7F)) & 0xFFF
+                w = ((a[p + 3] << 1) | (a[p + 2] << 9)
+                     | ((v & 0xF000) << 5))
+                w = (w - (ip + p)) & M32
+                nv = (a_old
+                      | ((w << 11) & (1 << 31))
+                      | ((w << 20) & (0x3FF << 21))
+                      | ((w << 9) & (1 << 20))
+                      | (w & (0xFF << 12)))
+                set32(p, nv & M32)
+                p += 4
+                continue
+            # AUIPC
+            af = (v | (u16(p + 2) << 16)) & M32
+            if (v & 0xE80) == 0:  # x0/x2
+                r = af >> 27
+                if _riscv_check2(v, r):
+                    b = (a[p + 4] << 24) | (a[p + 5] << 16) \
+                        | (a[p + 6] << 8) | a[p + 7]  # big-endian read
+                    w = af >> 12
+                    b = (b - (ip + p)) & M32
+                    nv = ((r << 7) + 0x17 + ((b + 0x800) & 0xFFFFF000)) \
+                        & M32
+                    w = (w | ((b << 20) & M32)) & M32
+                    set32(p, nv)
+                    set32(p + 4, w)
+                    p += 8
+                else:
+                    p += 4
+            else:
+                b = u32(p + 4)
+                if not _riscv_check1(v, b):
+                    p += 6
+                else:
+                    w = (af & 0xFFFFF000) | (b >> 20)
+                    nb = ((b << 12) & M32) | (0x17 + (2 << 7))
+                    set32(p, nb)
+                    set32(p + 4, w)
+                    p += 8
+
+
 # ------------------------------------------------------------- dispatch
 
 _BCJ = {
@@ -248,6 +436,8 @@ _BCJ = {
     FILTER_ARM64: _arm64_conv,
     FILTER_PPC: _ppc_conv,
     FILTER_SPARC: _sparc_conv,
+    FILTER_IA64: _ia64_conv,
+    FILTER_RISCV: _riscv_conv,
 }
 
 

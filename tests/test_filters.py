@@ -31,7 +31,8 @@ def test_delta_roundtrip(offset):
 
 @pytest.mark.parametrize("ff", [C.FILTER_X86, C.FILTER_ARM, C.FILTER_ARMT,
                                 C.FILTER_ARM64, C.FILTER_PPC,
-                                C.FILTER_SPARC])
+                                C.FILTER_SPARC, C.FILTER_IA64,
+                                C.FILTER_RISCV])
 def test_bcj_roundtrip(ff):
     for seed in range(3):
         data = binary_like(20_000 + seed, seed=seed)
@@ -56,14 +57,8 @@ def test_bcj_changes_real_binary(ff):
 
 def test_bcj_tiny_inputs():
     for ff in [C.FILTER_X86, C.FILTER_ARM, C.FILTER_ARM64, C.FILTER_PPC,
-               C.FILTER_SPARC, C.FILTER_ARMT]:
+               C.FILTER_SPARC, C.FILTER_ARMT, C.FILTER_IA64,
+               C.FILTER_RISCV]:
         for n in (0, 1, 3, 4, 5, 7):
             data = bytes(range(n))
             assert undo_filter(apply_filter(data, ff), ff) == data
-
-
-def test_unimplemented_filters_raise():
-    with pytest.raises(NotImplementedError):
-        apply_filter(b"x" * 100, C.FILTER_IA64)
-    with pytest.raises(NotImplementedError):
-        apply_filter(b"x" * 100, C.FILTER_RISCV)

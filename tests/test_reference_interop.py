@@ -163,10 +163,13 @@ _BRA_FUNCS = {
     "ARM64": ("z7_BranchConv_ARM64_Enc", False),
     "PPC": ("z7_BranchConv_PPC_Enc", False),
     "SPARC": ("z7_BranchConv_SPARC_Enc", False),
+    "IA64": ("z7_BranchConv_IA64_Enc", False),
+    "RISCV": ("z7_BranchConv_RISCV_Enc", False),
 }
 
 _FILTER_CODE = {
     "x86": 1, "ARM": 2, "ARMT": 3, "ARM64": 4, "PPC": 5, "SPARC": 6,
+    "IA64": 7, "RISCV": 8,
 }
 
 
@@ -194,6 +197,9 @@ def test_bcj_filters_match_sdk(bra_ref, name):
     data[widx + 3] = 0xEB   # ARM BL
     data[widx + 7] = 0x94   # ARM64 BL
     data[widx + 2] = 0x48   # PPC-ish high byte (BE)
+    eidx = rng.integers(0, (len(data) - 10) // 2, 800) * 2
+    data[eidx] = np.array([0x6F, 0xEF, 0x17, 0x97], dtype=np.uint8)[
+        rng.integers(0, 4, 800)]  # RISCV JAL/AUIPC opcodes
     data = data.tobytes()
     want = _ref_filter(bra_ref, name, data)
     got = apply_filter(data, _FILTER_CODE[name])
