@@ -248,12 +248,10 @@ def _compress_one(args, path: str, quiet: bool) -> int:
               file=sys.stderr)
         return 1
     t0 = time.time()
-    with open(path, "rb") as f:
-        data = f.read()
+    in_size = os.path.getsize(path)
     tmp_path = out_path + ".tmp"
     try:
-        with open(tmp_path, "wb") as out:
-            n = pipeline.compress_stream(data, out, settings)
+        n = pipeline.compress_file(path, tmp_path, settings)
         os.replace(tmp_path, out_path)
     except BaseException:
         if not args.keep_broken and os.path.exists(tmp_path):
@@ -261,10 +259,10 @@ def _compress_one(args, path: str, quiet: bool) -> int:
         raise
     dt = max(time.time() - t0, 1e-9)
     if not args.very_quiet:
-        ratio = len(data) / n if n else 0.0
+        ratio = in_size / n if n else 0.0
         print(f"{path} - Compression Ratio: {ratio:.3f}. "
-              f"bpb: {8.0 * n / max(len(data), 1):.3f}. "
-              f"Average Compression Speed: {len(data) / 1e6 / dt:6.3f}MB/s.")
+              f"bpb: {8.0 * n / max(in_size, 1):.3f}. "
+              f"Average Compression Speed: {in_size / 1e6 / dt:6.3f}MB/s.")
     if args.delete:
         os.unlink(path)
     return 0
@@ -273,30 +271,46 @@ def _compress_one(args, path: str, quiet: bool) -> int:
 def _decompress_one(args, path: str, quiet: bool) -> int:
     settings = settings_from_args(args)
     t0 = time.time()
-    with open(path, "rb") as fd:
-        data = pipeline.decompress_stream(fd, settings)
-    dt = max(time.time() - t0, 1e-9)
     if args.test:
+        total = 0
+        with open(path, "rb") as fd:
+            for chunk in pipeline.iter_decompress(fd, settings):
+                total += len(chunk)
+        dt = max(time.time() - t0, 1e-9)
         if not args.very_quiet:
-            print(f"{path}: integrity OK ({len(data):,} bytes, "
-                  f"{len(data) / 1e6 / dt:.1f}MB/s)")
+            print(f"{path}: integrity OK ({total:,} bytes, "
+                  f"{total / 1e6 / dt:.1f}MB/s)")
         return 0
     out_path = _out_path(args, path, decompress=True)
     if os.path.exists(out_path) and not args.force:
         print(f"Output file {out_path} exists. Use -f to force overwrite.",
               file=sys.stderr)
         return 1
-    with open(out_path, "wb") as f:
-        f.write(data)
+    total = pipeline.decompress_file(path, out_path, settings)
+    dt = max(time.time() - t0, 1e-9)
     if args.check:
-        with open(out_path, "rb") as f:
-            if f.read() != data:
-                print("Fatal: written file fails -c re-read check",
+        # -c: re-read the written file and verify against the archive's
+        # stored hash (reference src/runzip.c:470-493)
+        from .models.info import get_fileinfo
+        from .utils.hashing import ArchiveHash
+        with open(path, "rb") as fd:
+            info = get_fileinfo(fd)
+        if info.magic.hash_code and info.stored_hash and \
+                not info.magic.enc_code:
+            h = ArchiveHash(info.magic.hash_code)
+            with open(out_path, "rb") as f:
+                while True:
+                    blk = f.read(1 << 20)
+                    if not blk:
+                        break
+                    h.update(blk)
+            if h.digest() != info.stored_hash:
+                print("Fatal: written file fails -c re-read hash check",
                       file=sys.stderr)
                 return 1
     if not args.very_quiet:
-        print(f"{path} - decompressed {len(data):,} bytes, "
-              f"{len(data) / 1e6 / dt:.1f}MB/s")
+        print(f"{path} - decompressed {total:,} bytes, "
+              f"{total / 1e6 / dt:.1f}MB/s")
     if args.delete:
         os.unlink(path)
     return 0

@@ -267,69 +267,7 @@ def _lz4_gate(settings: Settings) -> Optional[Callable[[bytes], bool]]:
 def decompress_stream(fd: BinaryIO, settings: Optional[Settings] = None
                       ) -> bytes:
     """Decompress a full .lrz archive (self- or reference-produced)."""
-    settings = settings or Settings()
-    head = fd.read(C.MAGIC_LEN)
-    if len(head) < C.MAGIC_LEN:
-        raise ValueError("archive too short for magic header")
-    magic = MagicHeader.decode(head)
-    # versions < 11 have shorter magic; rewind extra bytes
-    fd.seek(magic.header_len - len(magic.comment))
-    if magic.comment:
-        fd.seek(len(magic.comment), io.SEEK_CUR)
-    crypto = None
-    if magic.enc_code:
-        if settings.passphrase is None:
-            raise ValueError(
-                "archive is encrypted: a passphrase is required")
-        from ..crypto import CryptoContext
-        crypto = CryptoContext(settings.passphrase, magic.salt,
-                               magic.enc_code,
-                               minor_version=magic.minor_version)
-
-    cfg = BackendConfig(
-        compression_level=magic.compression_level or 7,
-        dict_size=magic.lzma_dict_size,
-        zpaq_level=magic.zpaq_level, zpaq_bs=magic.zpaq_bs,
-        bzip3_bs=magic.bzip3_bs, zstd_level=magic.zstd_level,
-        zstd_strategy=magic.zstd_strategy,
-        threads=settings.resolved_threads())
-
-    hasher = ArchiveHash(magic.hash_code) if magic.hash_code else None
-    pool = ThreadPoolExecutor(max_workers=settings.resolved_threads())
-    out = bytearray()
-    cumulative_crc = 0
-    try:
-        while True:
-            hdr = read_chunk_header(fd, encrypted=crypto is not None)
-            if hdr is None:
-                break
-            chunk_data = _decompress_chunk(fd, hdr, magic, cfg, pool,
-                                           bytes(out), cumulative_crc,
-                                           crypto)
-            chunk_bytes, chunk_crc_ok = chunk_data
-            out += chunk_bytes
-            cumulative_crc = zlib.crc32(chunk_bytes, cumulative_crc)
-            if hasher is not None:
-                hasher.update(chunk_bytes)
-            if hdr.eof:
-                break
-    finally:
-        pool.shutdown()
-
-    if magic.eof_known and magic.expected_size and \
-            len(out) != magic.expected_size:
-        raise ValueError(f"decompressed size {len(out)} != expected "
-                         f"{magic.expected_size}")
-    if hasher is not None:
-        stored = fd.read(hasher.digest_size)
-        if crypto is not None and len(stored) == hasher.digest_size:
-            stored = crypto.decrypt_block(stored, crypto.salt_pass)
-        if len(stored) == hasher.digest_size and \
-                stored != hasher.digest():
-            raise ValueError(
-                f"{hasher.name} mismatch: archive corrupt "
-                f"(stored {stored.hex()}, computed {hasher.digest().hex()})")
-    return bytes(out)
+    return b"".join(iter_decompress(fd, settings))
 
 
 def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
@@ -386,6 +324,97 @@ def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
     # position fd at chunk end for the next chunk header
     fd.seek(reader.end_offset())
     return chunk_bytes, crc_ok
+
+
+# File-level API (streams chunk-by-chunk; input via memmap so files
+# larger than RAM compress within the chunk planner's budget - the
+# sliding-mmap analog of reference src/rzip.c:84-181) -----------------------
+
+def compress_file(in_path: str, out_path: str,
+                  settings: Optional[Settings] = None) -> int:
+    settings = settings or Settings()
+    size = os.path.getsize(in_path)
+    data = np.memmap(in_path, dtype=np.uint8, mode="r") if size else \
+        np.zeros(0, dtype=np.uint8)
+    with open(out_path, "wb") as out:
+        return compress_stream(data, out, settings)
+
+
+def decompress_file(in_path: str, out_path: str,
+                    settings: Optional[Settings] = None) -> int:
+    settings = settings or Settings()
+    with open(in_path, "rb") as fd, open(out_path, "wb") as out:
+        return decompress_stream_to(fd, out, settings)
+
+
+def decompress_stream_to(fd: BinaryIO, out_fd: BinaryIO,
+                         settings: Optional[Settings] = None) -> int:
+    """Decompress chunk-by-chunk, writing each chunk as it completes
+    (bounded memory; the reference streams through fd_out the same way,
+    src/runzip.c:375-502)."""
+    settings = settings or Settings()
+    total = 0
+    for chunk_bytes in iter_decompress(fd, settings):
+        out_fd.write(chunk_bytes)
+        total += len(chunk_bytes)
+    return total
+
+
+def iter_decompress(fd: BinaryIO, settings: Optional[Settings] = None):
+    """Generator over decompressed chunks with integrity verification."""
+    settings = settings or Settings()
+    head = fd.read(C.MAGIC_LEN + 64)
+    if len(head) < C.MAGIC_LEN:
+        raise ValueError("archive too short for magic header")
+    magic = MagicHeader.decode(head)
+    fd.seek(magic.header_len)
+    crypto = None
+    if magic.enc_code:
+        if settings.passphrase is None:
+            raise ValueError(
+                "archive is encrypted: a passphrase is required")
+        from ..crypto import CryptoContext
+        crypto = CryptoContext(settings.passphrase, magic.salt,
+                               magic.enc_code,
+                               minor_version=magic.minor_version)
+    cfg = BackendConfig(
+        compression_level=magic.compression_level or 7,
+        dict_size=magic.lzma_dict_size,
+        zpaq_level=magic.zpaq_level, zpaq_bs=magic.zpaq_bs,
+        bzip3_bs=magic.bzip3_bs, zstd_level=magic.zstd_level,
+        zstd_strategy=magic.zstd_strategy,
+        threads=settings.resolved_threads())
+    hasher = ArchiveHash(magic.hash_code) if magic.hash_code else None
+    pool = ThreadPoolExecutor(max_workers=settings.resolved_threads())
+    out_total = 0
+    cumulative_crc = 0
+    try:
+        while True:
+            hdr = read_chunk_header(fd, encrypted=crypto is not None)
+            if hdr is None:
+                break
+            chunk_bytes, _ = _decompress_chunk(
+                fd, hdr, magic, cfg, pool, b"", cumulative_crc, crypto)
+            cumulative_crc = zlib.crc32(chunk_bytes, cumulative_crc)
+            if hasher is not None:
+                hasher.update(chunk_bytes)
+            out_total += len(chunk_bytes)
+            yield chunk_bytes
+            if hdr.eof:
+                break
+    finally:
+        pool.shutdown()
+    if magic.eof_known and magic.expected_size and \
+            out_total != magic.expected_size:
+        raise ValueError(f"decompressed size {out_total} != expected "
+                         f"{magic.expected_size}")
+    if hasher is not None:
+        stored = fd.read(hasher.digest_size)
+        if crypto is not None and len(stored) == hasher.digest_size:
+            stored = crypto.decrypt_block(stored, crypto.salt_pass)
+        if len(stored) == hasher.digest_size and \
+                stored != hasher.digest():
+            raise ValueError(f"{hasher.name} mismatch: archive corrupt")
 
 
 # Convenience byte-level API ------------------------------------------------
