@@ -168,6 +168,7 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
         data, (bytes, bytearray, memoryview)) else np.asarray(
             data, dtype=np.uint8)
     total = len(data)
+    custom_tokens = encode_tokens is not None
     encode_tokens = encode_tokens or (
         lambda chunk: _encode_tokens(chunk, settings))
 
@@ -195,17 +196,46 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
     pool = ThreadPoolExecutor(max_workers=settings.resolved_threads())
 
     chunk_sizes = plan_chunks(total, settings)
+    bounds = []
     pos = 0
+    for csize in chunk_sizes:
+        bounds.append((pos, csize))
+        pos += csize
+
+    # TPU path: pipeline chunks - submit k+1's device work before
+    # collecting k, overlapping device compute with host packaging and
+    # backend compression (device dispatch is asynchronous).
     try:
-        for ci, csize in enumerate(chunk_sizes):
-            chunk = data[pos:pos + csize]
-            pos += csize
-            eof = ci == len(chunk_sizes) - 1
-            written += _compress_chunk(out, chunk, eof, ctype, cfg,
-                                       settings, pool, encode_tokens,
-                                       crypto)
-            if hasher is not None:
-                hasher.update(chunk)
+        if settings.use_tpu and not custom_tokens:
+            from ..ops.matcher import TpuMatchJob
+            jobs = {}
+            lookahead = 1
+            for ci in range(min(lookahead + 1, len(bounds))):
+                p0, cs = bounds[ci]
+                jobs[ci] = TpuMatchJob(np.asarray(data[p0:p0 + cs]))
+            for ci, (p0, csize) in enumerate(bounds):
+                nxt = ci + lookahead + 1
+                if nxt < len(bounds):
+                    pn, cn = bounds[nxt]
+                    jobs[nxt] = TpuMatchJob(np.asarray(data[pn:pn + cn]))
+                chunk = np.asarray(data[p0:p0 + csize])
+                eof = ci == len(bounds) - 1
+                job = jobs.pop(ci)
+                written += _compress_chunk(out, chunk, eof, ctype, cfg,
+                                           settings, pool,
+                                           lambda _c: job.collect(),
+                                           crypto)
+                if hasher is not None:
+                    hasher.update(chunk)
+        else:
+            for ci, (p0, csize) in enumerate(bounds):
+                chunk = data[p0:p0 + csize]
+                eof = ci == len(bounds) - 1
+                written += _compress_chunk(out, chunk, eof, ctype, cfg,
+                                           settings, pool, encode_tokens,
+                                           crypto)
+                if hasher is not None:
+                    hasher.update(chunk)
     finally:
         pool.shutdown()
     if hasher is not None:

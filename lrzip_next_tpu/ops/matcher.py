@@ -142,6 +142,15 @@ def compact_runs(cand: jnp.ndarray, ok: jnp.ndarray, limit: jnp.ndarray,
     return starts, ends, srcs, n_runs
 
 
+def _compact_impl():
+    """Pick the Pallas compaction kernel on real accelerators; the XLA
+    fallback (~8x slower at 64MB) remains for CPU meshes and tests."""
+    if jax.devices()[0].platform != "cpu":
+        from .compact_pallas import compact_runs_pallas
+        return compact_runs_pallas
+    return compact_runs
+
+
 def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run detection on device, then transfer only compacted run triples."""
@@ -149,7 +158,7 @@ def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
     if limit is None:
         limit = m
     cap = max(min(m, 4096), m // 16)
-    starts, ends, srcs, n_runs = compact_runs(
+    starts, ends, srcs, n_runs = _compact_impl()(
         cand, ok, jnp.int32(limit), cap)
     k = int(n_runs)
     if k > cap:  # rare: extremely fragmented matches; redo uncapped
@@ -236,6 +245,63 @@ def _bucket_size(n: int) -> int:
     return b
 
 
+class TpuMatchJob:
+    """Asynchronously-dispatched device work for one chunk.
+
+    Construction launches the fingerprint/sort/compact pipeline without
+    blocking; ``collect()`` performs the (tiny) readbacks and the host
+    greedy cover.  Submitting chunk k+1 before collecting chunk k
+    overlaps device compute with host packaging/backends.
+    """
+
+    def __init__(self, data: np.ndarray):
+        data = np.asarray(data, dtype=np.uint8)
+        self.data = data
+        self.n = len(data)
+        self.trivial = self.n <= HASH_W + 4
+        if self.trivial:
+            return
+        nb = _bucket_size(self.n)
+        if nb != self.n:
+            padded = np.zeros(nb, dtype=np.uint8)
+            padded[:self.n] = data
+        else:
+            padded = data
+        dev = jnp.asarray(padded)
+        cand, ok = match_candidates(dev)
+        m = padded.shape[0] - HASH_W + 1
+        self.limit = self.n - HASH_W + 1
+        self.cap = max(min(m, 4096), m // 16)
+        self.m = m
+        self.cand, self.ok = cand, ok
+        self.compacted = _compact_impl()(cand, ok, jnp.int32(self.limit),
+                                         self.cap)
+
+    def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self.trivial:
+            if self.n == 0:
+                return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                        np.zeros(0, np.int64))
+            return (np.array([0], np.uint8),
+                    np.array([self.n], np.int64),
+                    np.array([0], np.int64))
+        starts, ends, srcs, n_runs = self.compacted
+        k = int(n_runs)
+        if k > self.cap:  # overflow: redo uncapped (rare)
+            starts, ends, srcs, n_runs = _compact_impl()(
+                self.cand, self.ok, jnp.int32(self.limit), self.m)
+            k = int(n_runs)
+        if k == 0:
+            rs = rl = src = np.zeros(0, np.int64)
+        else:
+            rs = np.asarray(jax.device_get(starts[:k])).astype(np.int64)
+            re = np.asarray(jax.device_get(ends[:k])).astype(np.int64)
+            src = np.asarray(jax.device_get(srcs[:k])).astype(np.int64)
+            rl = re - rs + 1
+        return greedy_cover_from_runs(rs, rl, src, self.n,
+                                      data=self.data)
+
+
 def rzip_encode_chunk_tpu(data: np.ndarray
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full TPU-path rzip encode of one chunk -> columnar tokens.
@@ -244,22 +310,4 @@ def rzip_encode_chunk_tpu(data: np.ndarray
     after all real positions (position is the sort tiebreak), so real
     candidates are unaffected and results are sliced back to n.
     """
-    data = np.asarray(data, dtype=np.uint8)
-    n = len(data)
-    if n <= HASH_W + 4:
-        if n == 0:
-            return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
-                    np.zeros(0, np.int64))
-        return (np.array([0], np.uint8), np.array([n], np.int64),
-                np.array([0], np.int64))
-    nb = _bucket_size(n)
-    if nb != n:
-        padded = np.zeros(nb, dtype=np.uint8)
-        padded[:n] = data
-    else:
-        padded = data
-    dev = jnp.asarray(padded)
-    cand, ok = match_candidates(dev)
-    m = n - HASH_W + 1
-    rs, rl, src = runs_to_host(cand, ok, limit=m)
-    return greedy_cover_from_runs(rs, rl, src, n, data=data)
+    return TpuMatchJob(data).collect()
