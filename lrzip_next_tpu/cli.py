@@ -188,6 +188,19 @@ def settings_from_args(args) -> pipeline.Settings:
         s.use_tpu = args.tpu
     else:
         s.use_tpu = _tpu_present()
+    if "lz4test" in conf:
+        s.lz4_test = str(conf["lz4test"]).lower() != "no"
+    if "threshold" in conf and args.threshold is None:
+        s.threshold = int(conf["threshold"])
+    if args.progress and not args.quiet:
+        def _show(stage, done, total):
+            pct = 100 * done // max(total, 1)
+            print(f"\r{stage}: {pct:3d}%  "
+                  f"{done / 1e6:,.1f} / {total / 1e6:,.1f} MB",
+                  end="", file=sys.stderr, flush=True)
+            if done >= total:
+                print(file=sys.stderr)
+        s.progress = _show
     return s
 
 

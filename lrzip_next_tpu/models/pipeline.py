@@ -53,6 +53,9 @@ class Settings:
     block_size: int = C.STREAM_BUFSIZE
     max_chunk: int = 0             # explicit chunk cap (testing / RAM plan)
     comment: bytes = b""
+    progress: Optional[Callable[[str, int, int], None]] = None
+    # progress(stage, done_bytes, total_bytes); stage in
+    # {"rzip", "backend", "write", "decompress"}
     filter_flag: int = 0           # FILTER_* BCJ code or FILTER_DELTA
     delta_offset: int = 1
     dict_size: int = 0             # lzma dictionary (0 = default by level)
@@ -77,8 +80,18 @@ class Settings:
     def resolved_dict_size(self) -> int:
         if self.dict_size:
             return self.dict_size
-        # reference default: dictSize from level (util.c setup via LzmaEncProps)
-        return 1 << min(24 + max(0, self.compression_level - 5), 27)
+        # reference defaults by level (src/util.c:109-126)
+        lvl = min(max(self.compression_level, 1), 9)
+        if lvl <= 3:
+            return 1 << (lvl * 2 + 16)
+        if lvl <= 6:
+            return 1 << (lvl + 19)
+        return 1 << (18 + lvl)  # 7->2^25, 8->2^26, 9->2^27
+
+    def resolved_zpaq_level(self) -> int:
+        # reference: round(level * 5 / 9) (src/util.c:134)
+        return self.zpaq_level or max(1, round(
+            self.compression_level * 5 / 9))
 
     def resolved_zstd(self) -> Tuple[int, int]:
         lvl = min(max(self.compression_level, 1), 9)
@@ -101,7 +114,7 @@ def _magic_for(settings: Settings, expected_size: int,
         h.lzma_dict_size = settings.resolved_dict_size()
     elif m == "zpaq":
         h.method_code = C.MAGIC_CTYPE_ZPAQ
-        h.zpaq_level = settings.zpaq_level or 4
+        h.zpaq_level = settings.resolved_zpaq_level()
         h.zpaq_bs = settings.zpaq_bs
     elif m == "bzip3":
         h.method_code = C.MAGIC_CTYPE_BZIP3
@@ -117,7 +130,7 @@ def _backend_cfg(settings: Settings) -> BackendConfig:
     return BackendConfig(
         compression_level=settings.compression_level,
         dict_size=settings.resolved_dict_size(),
-        zpaq_level=settings.zpaq_level or 4, zpaq_bs=settings.zpaq_bs,
+        zpaq_level=settings.resolved_zpaq_level(), zpaq_bs=settings.zpaq_bs,
         bzip3_bs=settings.bzip3_bs, zstd_level=zl, zstd_strategy=zs,
         threads=settings.resolved_threads())
 
@@ -227,6 +240,8 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
                                            crypto)
                 if hasher is not None:
                     hasher.update(chunk)
+                if settings.progress:
+                    settings.progress("rzip", p0 + csize, total)
         else:
             for ci, (p0, csize) in enumerate(bounds):
                 chunk = data[p0:p0 + csize]
@@ -236,6 +251,8 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
                                            crypto)
                 if hasher is not None:
                     hasher.update(chunk)
+                if settings.progress:
+                    settings.progress("rzip", p0 + csize, total)
     finally:
         pool.shutdown()
     if hasher is not None:

@@ -51,19 +51,23 @@ def _linear_shift_left(x: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def _linear_exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     """Exclusive cumsum over row-major linear order of an (8, 128) int32
-    tile via log-step shifted adds."""
+    tile: log-step shifted adds along lanes, and a strictly-lower-
+    triangular matmul for the cross-row prefix (narrow sublane
+    concats/pads are not Mosaic-lowerable; full-width ops are)."""
     inc = x
     shift = 1
     while shift < _L:
         inc = inc + jnp.pad(inc, ((0, 0), (shift, 0)))[:, :_L]
         shift <<= 1
-    row_tot = inc[:, _L - 1:_L]
-    rp = row_tot
-    shift = 1
-    while shift < _R:
-        rp = rp + jnp.pad(rp, ((shift, 0), (0, 0)))[:rp.shape[0], :]
-        shift <<= 1
-    return inc - x + (rp - row_tot)
+    row_tot = jnp.broadcast_to(inc[:, _L - 1:_L], (_R, _L))
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 1)
+           < jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 0)
+           ).astype(jnp.float32)
+    # counts are <= 1024 so f32 accumulation is exact
+    row_prefix = jax.lax.dot_general(
+        tri, row_tot.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    return inc - x + row_prefix
 
 
 def _compact_tile(mask: jnp.ndarray, vals):
@@ -94,9 +98,8 @@ def _compact_tile(mask: jnp.ndarray, vals):
     return vs
 
 
-def _compact_kernel(offs_s_ref, offs_e_ref, start_ref, end_ref, cand_ref,
-                    out_s_ref, out_e_ref, out_c_ref,
-                    scratch_s, scratch_e, scratch_c, sem):
+def _compact_kernel(start_ref, end_ref, cand_ref,
+                    out_s_ref, out_e_ref, out_c_ref):
     b = pl.program_id(0)
     start = start_ref[0].astype(jnp.int32)            # (8, 128)
     end = end_ref[0].astype(jnp.int32)
@@ -107,26 +110,9 @@ def _compact_kernel(offs_s_ref, offs_e_ref, start_ref, end_ref, cand_ref,
 
     s_pos, s_cand = _compact_tile(start, [pos, cand])
     (e_pos,) = _compact_tile(end, [pos])
-    # flatten (8,128) results into 1-D scratch row by row (static stores)
-    for r in range(_R):
-        scratch_s[pl.ds(r * _L, _L)] = s_pos[r, :]
-        scratch_e[pl.ds(r * _L, _L)] = e_pos[r, :]
-        scratch_c[pl.ds(r * _L, _L)] = s_cand[r, :]
-
-    off_s = offs_s_ref[b]
-    off_e = offs_e_ref[b]
-    cp1 = pltpu.make_async_copy(scratch_s,
-                                out_s_ref.at[pl.ds(off_s, T)], sem.at[0])
-    cp2 = pltpu.make_async_copy(scratch_e,
-                                out_e_ref.at[pl.ds(off_e, T)], sem.at[1])
-    cp3 = pltpu.make_async_copy(scratch_c,
-                                out_c_ref.at[pl.ds(off_s, T)], sem.at[2])
-    cp1.start()
-    cp2.start()
-    cp3.start()
-    cp1.wait()
-    cp2.wait()
-    cp3.wait()
+    out_s_ref[0] = s_pos
+    out_e_ref[0] = e_pos
+    out_c_ref[0] = s_cand
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "interpret"))
@@ -156,44 +142,33 @@ def compact_runs_pallas(cand: jnp.ndarray, ok: jnp.ndarray,
     cand_p = jnp.pad(cand, (0, pad)).reshape(nb, _R, _L)
     counts_s = jnp.sum(start_m.astype(jnp.int32), axis=(1, 2))
     counts_e = jnp.sum(end_m.astype(jnp.int32), axis=(1, 2))
-    offs_s = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(counts_s)[:-1]])
-    offs_e = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(counts_e)[:-1]])
-    # clamp so every tile's T-wide window stays in bounds (overflow past
-    # cap is detected by the caller via n_runs > cap)
-    offs_s = jnp.minimum(offs_s, cap)
-    offs_e = jnp.minimum(offs_e, cap)
+    cum_s = jnp.cumsum(counts_s)
+    cum_e = jnp.cumsum(counts_e)
 
-    out_len = cap + T
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, _R, _L), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _R, _L), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _R, _L), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((T,), jnp.int32),
-            pltpu.VMEM((T,), jnp.int32),
-            pltpu.VMEM((T,), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
-    starts, ends, cands = pl.pallas_call(
+    spec = pl.BlockSpec((1, _R, _L), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tile_shape = jax.ShapeDtypeStruct((nb, _R, _L), jnp.int32)
+    ts, te, tc = pl.pallas_call(
         _compact_kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((out_len,), jnp.int32)] * 3,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        grid=(nb,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[tile_shape] * 3,
         interpret=interpret,
-    )(offs_s, offs_e, start_m, end_m, cand_p)
+    )(start_m, end_m, cand_p)
+
+    # merge per-tile prefixes with one k-sized gather: run j lives in
+    # tile b = first cum > j, at slot j - cum[b-1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+
+    def merge(tiles, cum):
+        b = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+        bc = jnp.minimum(b, nb - 1)
+        prev = jnp.where(bc > 0, cum[jnp.maximum(bc - 1, 0)], 0)
+        slot = jnp.clip(j - prev, 0, T - 1)
+        return tiles[bc, slot // _L, slot % _L]
+
+    starts = merge(ts, cum_s)
+    ends = merge(te, cum_e)
+    cands = merge(tc, cum_s)
     return starts, ends, cands, n_runs
