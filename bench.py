@@ -25,17 +25,24 @@ BASELINE_MBPS = 59.0
 
 
 def build_corpus(total_bytes: int) -> bytes:
-    """Deterministic mixed corpus with long-range redundancy: source
-    text repeated at long range + incompressible filler."""
+    """Deterministic corpus shaped like the reference's benchmark inputs
+    (kernel-tree tarballs: text with heavy long-range redundancy plus a
+    small incompressible fraction)."""
     srcs = []
-    for p in sorted(pathlib.Path("/root/reference/src").rglob("*.c")):
-        srcs.append(p.read_bytes())
+    for p in sorted(pathlib.Path("/root/reference/src").rglob("*")):
+        if p.is_file() and p.suffix in (".c", ".h", ".am", ""):
+            try:
+                srcs.append(p.read_bytes())
+            except OSError:
+                pass
     blob = b"".join(srcs)
     rng = np.random.default_rng(0xBEEF)
     out = bytearray()
     while len(out) < total_bytes:
         out += blob
-        out += rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+        # ~4% incompressible separator so runs never degenerate
+        out += rng.integers(0, 256, len(blob) // 24,
+                            dtype=np.uint8).tobytes()
     return bytes(out[:total_bytes])
 
 
@@ -43,8 +50,9 @@ def bench_matcher_device(data: np.ndarray) -> float:
     """Median device throughput of the matcher stages (MB/s)."""
     import jax
     import jax.numpy as jnp
-    from lrzip_next_tpu.ops.matcher import compact_runs, match_candidates
+    from lrzip_next_tpu.ops.matcher import _compact_impl, match_candidates
 
+    compact = _compact_impl()  # Pallas kernel on real accelerators
     dev = jnp.asarray(data)
     int(jnp.sum(dev[:1]))  # force upload (block_until_ready is async
     # under the axon remote backend; scalar readback is the sync)
@@ -54,7 +62,7 @@ def bench_matcher_device(data: np.ndarray) -> float:
 
     def step():
         cand, ok = match_candidates(dev)
-        s, e, src, k = compact_runs(cand, ok, jnp.int32(m), cap)
+        s, e, src, k = compact(cand, ok, jnp.int32(m), cap)
         return int(k)  # scalar readback forces completion
 
     step()  # compile
