@@ -31,44 +31,33 @@ import numpy as np
 
 from ..format.constants import MINIMUM_MATCH
 
-_A = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier => invertible mod 2^64
+def window_fingerprints(data: np.ndarray, w: int = 32) -> np.ndarray:
+    """64-bit fingerprint of data[i:i+w] for every i in [0, n-w].
 
-
-def _pow_series(a: np.uint64, n: int) -> np.ndarray:
-    """[a^0, a^1, ..., a^(n-1)] mod 2^64."""
-    out = np.empty(n, dtype=np.uint64)
-    out[0] = 1
-    if n > 1:
-        np.multiply.accumulate(np.full(n - 1, a, dtype=np.uint64),
-                               out=out[1:])
-    return out
-
-
-def _inv_u64(a: np.uint64) -> np.uint64:
-    """Inverse of odd a modulo 2^64 via Newton iteration."""
-    a = int(a)
-    x = a  # 3 bits correct; each step doubles correct bits
-    for _ in range(6):
-        x = (x * (2 - a * x)) % (1 << 64)
-    return np.uint64(x)
-
-
-def window_fingerprints(data: np.ndarray, w: int = MINIMUM_MATCH
-                        ) -> np.ndarray:
-    """Polynomial hash of data[i:i+w] for every i in [0, n-w]."""
+    Same tree-reduction construction as the TPU path
+    (ops/matcher._window_fps_tree): two independent 32-bit hashes from
+    log2(w) shifted multiply-add levels, packed into one uint64.  Pure
+    vectorised uint32 ops - ~100x faster than the earlier modular
+    prefix-product scheme (uint64 cumprod has no SIMD path).
+    ``w`` must be a power of two; 32 covers MINIMUM_MATCH=31.
+    """
     n = len(data)
     if n < w:
         return np.zeros(0, dtype=np.uint64)
+    assert w & (w - 1) == 0, "w must be a power of two"
+    m1 = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
+    m2 = (0xD1B54A33, 0xABC98389, 0x8CB92BA7, 0x2545F491, 0x9E377F4B)
+    levels = w.bit_length() - 1
     with np.errstate(over="ignore"):
-        d = data.astype(np.uint64)
-        ainv = _inv_u64(_A)
-        ainv_pows = _pow_series(ainv, n)
-        terms = d * ainv_pows
-        prefix = np.zeros(n + 1, dtype=np.uint64)
-        np.cumsum(terms, out=prefix[1:])  # wraps mod 2^64
-        a_pows = _pow_series(_A, n)
-        i = np.arange(n - w + 1)
-        return (prefix[i + w] - prefix[i]) * a_pows[i + w - 1]
+        d = data.astype(np.uint32)
+        a, b = d, d
+        for k in range(levels):
+            half = 1 << k
+            a = a[:-half] * np.uint32(m1[k % 5]) + a[half:]
+            b = b[:-half] * np.uint32(m2[k % 5]) + b[half:]
+        m = n - w + 1
+        return (a[:m].astype(np.uint64) << np.uint64(32)) \
+            | b[:m].astype(np.uint64)
 
 
 def nearest_previous_candidates(fps: np.ndarray) -> np.ndarray:
