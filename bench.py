@@ -13,21 +13,32 @@ transfer and host backend codecs.
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
 
 import numpy as np
 
+from lrzip_next_tpu.utils import jaxcache
+
+jaxcache.enable()
+
 CHUNK_MB = 64
 REPS = 3
 BASELINE_MBPS = 59.0
 
 
+SEG_MB = 8
+UNIQUE_SEGS = 3
+
+
 def build_corpus(total_bytes: int) -> bytes:
-    """Deterministic corpus shaped like the reference's benchmark inputs
-    (kernel-tree tarballs: text with heavy long-range redundancy plus a
-    small incompressible fraction)."""
+    """Deterministic corpus stressing *long-range* redundancy, like the
+    reference's headline inputs (multi-GB VM images / repeated kernel
+    trees, doc/README.benchmarks): locally-compressible text segments
+    whose repeats sit ~24MB apart - far beyond any backend codec's
+    window, so only the rzip stage can deduplicate them."""
     srcs = []
     for p in sorted(pathlib.Path("/root/reference/src").rglob("*")):
         if p.is_file() and p.suffix in (".c", ".h", ".am", ""):
@@ -35,14 +46,28 @@ def build_corpus(total_bytes: int) -> bytes:
                 srcs.append(p.read_bytes())
             except OSError:
                 pass
-    blob = b"".join(srcs)
-    rng = np.random.default_rng(0xBEEF)
+    blob = np.frombuffer(b"".join(srcs), dtype=np.uint8)
+
+    # each segment = the text corpus under distinct byte-substitution
+    # tables: locally text-like (compressible by any backend) but with
+    # no exact repeats inside a segment; exact duplicates only occur
+    # when whole segments recur ~24MB later
+    seg_bytes = SEG_MB << 20
+    copies = seg_bytes // len(blob) + 1
+    segs = []
+    for k in range(UNIQUE_SEGS):
+        rng = np.random.default_rng(1000 + k)
+        parts = []
+        for j in range(copies):
+            table = rng.permutation(256).astype(np.uint8)
+            parts.append(table[blob])
+        segs.append(np.concatenate(parts)[:seg_bytes].tobytes())
+
     out = bytearray()
+    i = 0
     while len(out) < total_bytes:
-        out += blob
-        # ~4% incompressible separator so runs never degenerate
-        out += rng.integers(0, 256, len(blob) // 24,
-                            dtype=np.uint8).tobytes()
+        out += segs[i % UNIQUE_SEGS]
+        i += 1
     return bytes(out[:total_bytes])
 
 

@@ -31,6 +31,10 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+from ..utils import jaxcache
+
+jaxcache.enable()  # TPU compiles cost minutes; cache across processes
+
 import jax
 import jax.numpy as jnp
 import numpy as np
