@@ -159,12 +159,15 @@ def compact_runs_pallas(cand: jnp.ndarray, ok: jnp.ndarray,
     )(start_m, end_m, cand_p)
 
     # merge per-tile prefixes with one k-sized gather: run j lives in
-    # tile b = first cum > j, at slot j - cum[b-1]
+    # tile b = first cum > j, at slot j - cum[b-1].  tile-of-run comes
+    # from a tiny scatter + cap-sized cumsum (cheaper than binary-search
+    # gathers on TPU).
     j = jnp.arange(cap, dtype=jnp.int32)
 
     def merge(tiles, cum):
-        b = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-        bc = jnp.minimum(b, nb - 1)
+        marks = jnp.zeros((cap + 1,), jnp.int32).at[
+            jnp.minimum(cum, cap)].add(1, mode="drop")
+        bc = jnp.minimum(jnp.cumsum(marks[:cap]), nb - 1)
         prev = jnp.where(bc > 0, cum[jnp.maximum(bc - 1, 0)], 0)
         slot = jnp.clip(j - prev, 0, T - 1)
         return tiles[bc, slot // _L, slot % _L]
