@@ -337,10 +337,16 @@ def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
     stream0 = b"".join(results[:len(refs0)])
     stream1 = b"".join(results[len(refs0):])
 
-    kinds, lengths, dists, stored_crc, consumed = decode_token_stream(
-        np.frombuffer(stream0, dtype=np.uint8), hdr.chunk_bytes)
-    literals = np.frombuffer(stream1, dtype=np.uint8)
     from .. import runtime
+    s0 = np.frombuffer(stream0, dtype=np.uint8)
+    parsed = runtime.parse_token_stream(s0, hdr.chunk_bytes) \
+        if runtime.available() else None
+    if parsed is not None:
+        kinds, lengths, dists, stored_crc, consumed = parsed
+    else:
+        kinds, lengths, dists, stored_crc, consumed = \
+            decode_token_stream(s0, hdr.chunk_bytes)
+    literals = np.frombuffer(stream1, dtype=np.uint8)
     chunk = None
     if runtime.available():
         # distances are chunk-local in practice; retry with history only

@@ -67,6 +67,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.zpaq_encode.argtypes = [u8p, i64, u8p, i64, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_char_p,
                                     ctypes.c_int]
+        lib.parse_token_stream.restype = i64
+        lib.parse_token_stream.argtypes = [u8p, i64, i64, u8p, i64p, i64p,
+                                           ctypes.POINTER(ctypes.c_uint32),
+                                           ctypes.POINTER(ctypes.c_int64)]
         lib.zpaq_decode.restype = i64
         lib.zpaq_decode.argtypes = [u8p, i64, u8p, i64, ctypes.c_char_p,
                                     ctypes.c_int]
@@ -196,3 +200,25 @@ def zpaq_decode(payload: bytes, u_len: int) -> Optional[bytes]:
         raise ValueError("corrupt zpaq block: "
                          + err.value.decode("utf-8", "replace"))
     return out[:ret].tobytes()
+
+
+def parse_token_stream(stream0: np.ndarray, chunk_bytes: int):
+    """Native token-stream parse; returns (kinds, lens, dists, crc,
+    consumed) or None when the runtime is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(stream0, dtype=np.uint8)
+    cap = len(s) // 3 + 2
+    kinds = np.empty(cap, dtype=np.uint8)
+    lens = np.empty(cap, dtype=np.int64)
+    dists = np.empty(cap, dtype=np.int64)
+    crc = ctypes.c_uint32(0)
+    consumed = ctypes.c_int64(0)
+    t = lib.parse_token_stream(_u8p(s), len(s), chunk_bytes, _u8p(kinds),
+                               _i64p(lens), _i64p(dists),
+                               ctypes.byref(crc), ctypes.byref(consumed))
+    if t < 0:
+        raise ValueError("corrupt rzip token stream (native parse)")
+    return (kinds[:t].copy(), lens[:t].copy(), dists[:t].copy(),
+            int(crc.value), int(consumed.value))

@@ -81,6 +81,41 @@ int64_t greedy_cover(const int64_t* run_start, const int64_t* run_len,
     return t;
 }
 
+// ---------------------------------------------------------------- parse
+
+// Parse a stream-0 token byte sequence into columnar arrays.
+// Returns the number of tokens, writing the CRC and consumed length via
+// out-params; -1 on malformed input. Capacities must be >= n/3 + 1.
+int64_t parse_token_stream(const uint8_t* s, int64_t n, int64_t chunk_bytes,
+                           uint8_t* out_kind, int64_t* out_len,
+                           int64_t* out_dist, uint32_t* out_crc,
+                           int64_t* out_consumed) {
+    int64_t p = 0, t = 0;
+    for (;;) {
+        if (p + 3 > n) return -1;
+        uint8_t kind = s[p];
+        int64_t len = (int64_t)s[p + 1] | ((int64_t)s[p + 2] << 8);
+        p += 3;
+        if (kind == 0 && len == 0) break;  // terminator
+        int64_t dist = 0;
+        if (kind != 0) {
+            if (p + chunk_bytes > n) return -1;
+            for (int64_t b = 0; b < chunk_bytes; b++)
+                dist |= (int64_t)s[p + b] << (8 * b);
+            p += chunk_bytes;
+        }
+        out_kind[t] = kind != 0;
+        out_len[t] = len;
+        out_dist[t] = dist;
+        t++;
+    }
+    if (p + 4 > n) return -1;
+    *out_crc = (uint32_t)s[p] | ((uint32_t)s[p + 1] << 8)
+             | ((uint32_t)s[p + 2] << 16) | ((uint32_t)s[p + 3] << 24);
+    *out_consumed = p + 4;
+    return t;
+}
+
 // --------------------------------------------------------------- replay
 
 // Sequential rzip token replay with full history semantics
