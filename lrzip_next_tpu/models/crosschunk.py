@@ -1,0 +1,203 @@
+"""Cross-chunk long-range matching.
+
+The reference's match reach ends at the current rzip chunk (its hash
+table resets per chunk, src/rzip.c:601-614), so multi-chunk archives
+never deduplicate across chunk boundaries.  The *format* allows it: the
+decoder replays matches against the whole decompressed output
+(src/runzip.c:184-241 seeks fd_hist from byte 0), and distances are only
+bounded by the chunk byte width.  This module exploits that:
+
+1. content-defined anchors - positions where a rolling 8-byte gear hash
+   meets a mask (shift-robust sampling, ~1 anchor / 2^bits bytes);
+2. a persistent index of (window fingerprint -> absolute position) over
+   all previous chunks;
+3. lookups for the current chunk's anchors; hits are verified and
+   extended bidirectionally against the memmapped input, then spliced
+   into literal spans of the in-chunk tokenisation.
+
+Result: -U-scale dedup with memory bounded by the sampled index, and
+archives any conforming decoder (the reference included) replays
+correctly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..format.constants import MINIMUM_MATCH
+
+_GEAR = np.random.default_rng(0x6EA12).integers(
+    0, 1 << 63, 256, dtype=np.int64).astype(np.uint64)
+
+WINDOW = 32  # fingerprint window at anchors (tree hash, same as matcher)
+
+
+def gear_anchor_positions(data: np.ndarray, mask_bits: int = 10
+                          ) -> np.ndarray:
+    """Positions whose preceding 8 bytes satisfy the gear condition."""
+    n = len(data)
+    if n < 16:
+        return np.zeros(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        g = np.zeros(n, dtype=np.uint64)
+        for k in range(8):
+            # gear hash: sum of shifted table lookups over 8 bytes
+            g[8:] += _GEAR[data[8 - k - 1 + np.arange(0, n - 8)]] \
+                << np.uint64(k)
+        mask = np.uint64((1 << mask_bits) - 1)
+        sel = (g & mask) == mask
+        sel[: 8] = False
+        sel[n - WINDOW:] = False
+        return np.flatnonzero(sel).astype(np.int64)
+
+
+def window_hashes_at(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """32-byte tree-reduction fingerprints at the given positions only
+    (gathered columns; same multipliers as the full matcher hash)."""
+    if len(pos) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    m1 = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
+    m2 = (0xD1B54A33, 0xABC98389, 0x8CB92BA7, 0x2545F491, 0x9E377F4B)
+    with np.errstate(over="ignore"):
+        cols = data[pos[:, None] + np.arange(WINDOW)[None, :]] \
+            .astype(np.uint32)
+        a = cols.copy()
+        b = cols.copy()
+        for k in range(5):
+            half = 1 << k
+            a = a[:, :-half] * np.uint32(m1[k]) + a[:, half:]
+            b = b[:, :-half] * np.uint32(m2[k]) + b[:, half:]
+        return (a[:, 0].astype(np.uint64) << np.uint64(32)) \
+            | b[:, 0].astype(np.uint64)
+
+
+class CrossChunkIndex:
+    """Persistent anchor index over previously compressed chunks."""
+
+    def __init__(self, mask_bits: int = 10):
+        self.mask_bits = mask_bits
+        self._hashes: List[np.ndarray] = []
+        self._positions: List[np.ndarray] = []
+        self._sorted_h: Optional[np.ndarray] = None
+        self._sorted_p: Optional[np.ndarray] = None
+
+    def add_chunk(self, data: np.ndarray, abs_base: int) -> None:
+        pos = gear_anchor_positions(data, self.mask_bits)
+        if len(pos) == 0:
+            return
+        h = window_hashes_at(data, pos)
+        self._hashes.append(h)
+        self._positions.append(pos + abs_base)
+        self._sorted_h = None  # invalidate
+
+    def _ensure_sorted(self) -> bool:
+        if self._sorted_h is None and self._hashes:
+            h = np.concatenate(self._hashes)
+            p = np.concatenate(self._positions)
+            order = np.argsort(h, kind="stable")
+            self._sorted_h = h[order]
+            self._sorted_p = p[order]
+        return self._sorted_h is not None
+
+    def lookup(self, data: np.ndarray, abs_base: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """(cur_abs, src_abs) candidate pairs for the chunk's anchors."""
+        if not self._ensure_sorted():
+            return (np.zeros(0, np.int64),) * 2
+        pos = gear_anchor_positions(data, self.mask_bits)
+        if len(pos) == 0:
+            return (np.zeros(0, np.int64),) * 2
+        h = window_hashes_at(data, pos)
+        idx = np.searchsorted(self._sorted_h, h)
+        idx = np.clip(idx, 0, len(self._sorted_h) - 1)
+        hit = self._sorted_h[idx] == h
+        return (pos[hit] + abs_base), self._sorted_p[idx[hit]]
+
+
+def find_cross_matches(full_data: np.ndarray, index: CrossChunkIndex,
+                       chunk_base: int, chunk_len: int,
+                       max_dist: int) -> List[Tuple[int, int, int]]:
+    """Verified, extended cross-chunk matches for one chunk.
+
+    Returns (start_abs, length, dist) triples sorted by start, pruned of
+    overlaps (greedy left-to-right).
+    """
+    chunk = full_data[chunk_base:chunk_base + chunk_len]
+    cur, src = index.lookup(chunk, chunk_base)
+    out: List[Tuple[int, int, int]] = []
+    frontier = chunk_base
+    from .rzip_host import extend_one
+    for c, s in zip(cur.tolist(), src.tolist()):
+        if c < frontier or s >= c:
+            continue
+        dist = c - s
+        if dist > max_dist:
+            continue
+        # extend left into unclaimed territory
+        start = c
+        while start > frontier and start > chunk_base and s > 0 and \
+                full_data[start - 1] == full_data[start - 1 - dist]:
+            start -= 1
+        ml = extend_one(full_data, start - dist, start)
+        end = min(start + ml, chunk_base + chunk_len)
+        if end - start < MINIMUM_MATCH:
+            continue
+        out.append((start, end - start, dist))
+        frontier = end
+    return out
+
+
+def splice_cross_matches(kinds: np.ndarray, lengths: np.ndarray,
+                         dists: np.ndarray, cross, chunk_base: int
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Insert cross-chunk matches into literal spans of a tokenisation.
+
+    Only the portion of a cross match that falls strictly inside a
+    literal token is used (in-chunk matches always win); each literal
+    may be split into [pre-literal][match][post-literal].
+    """
+    if not cross:
+        return kinds, lengths, dists
+    ends = np.cumsum(lengths)
+    starts = ends - lengths  # chunk-relative token starts
+    ok_kinds: List[int] = []
+    ok_lens: List[int] = []
+    ok_dists: List[int] = []
+    ci = 0
+    cross = sorted(cross)
+    for t in range(len(kinds)):
+        t_start, t_end = int(starts[t]), int(ends[t])
+        if kinds[t] == 1:
+            ok_kinds.append(1)
+            ok_lens.append(int(lengths[t]))
+            ok_dists.append(int(dists[t]))
+            continue
+        # literal: splice any cross matches fully inside [t_start, t_end)
+        p = t_start
+        while ci < len(cross):
+            cs_abs, cl, cd = cross[ci]
+            cs = cs_abs - chunk_base
+            if cs >= t_end:
+                break
+            ce = min(cs + cl, t_end)
+            if cs < p or ce - cs < MINIMUM_MATCH:
+                ci += 1
+                continue
+            if cs > p:
+                ok_kinds.append(0)
+                ok_lens.append(cs - p)
+                ok_dists.append(0)
+            ok_kinds.append(1)
+            ok_lens.append(ce - cs)
+            ok_dists.append(cd)
+            p = ce
+            ci += 1
+        if t_end > p:
+            ok_kinds.append(0)
+            ok_lens.append(t_end - p)
+            ok_dists.append(0)
+    return (np.array(ok_kinds, dtype=np.uint8),
+            np.array(ok_lens, dtype=np.int64),
+            np.array(ok_dists, dtype=np.int64))

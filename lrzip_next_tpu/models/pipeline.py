@@ -64,6 +64,7 @@ class Settings:
     zpaq_bs: int = 6
     bzip3_bs: int = 4
     use_tpu: bool = False          # rzip matcher on TPU (ops pipeline)
+    cross_chunk: bool = False      # matches reaching into earlier chunks
     lz4_test: bool = True          # compressibility gate before backends
     threshold: int = 100
     passphrase: Optional[bytes] = None  # -e: enables encryption
@@ -142,7 +143,13 @@ def plan_chunks(total: int, settings: Settings,
     if total == 0:
         return [0]
     if settings.unlimited:
-        max_chunk = total
+        # -U: window = whole file. Beyond the RAM budget this becomes
+        # RAM-sized chunks + cross-chunk matching (models/crosschunk.py),
+        # the memory-bounded analog of the reference's sliding mmap
+        # (src/rzip.c:84-181).
+        from ..utils.memplan import default_max_chunk
+        max_chunk = min(total,
+                        settings.max_chunk or default_max_chunk(ram_budget))
     elif settings.window:
         max_chunk = settings.window * C.CHUNK_MULTIPLE
     elif settings.max_chunk:
@@ -215,6 +222,36 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
         bounds.append((pos, csize))
         pos += csize
 
+    # Cross-chunk matching: the format lets match distances reach into
+    # earlier chunks (the decoder replays from the whole output,
+    # reference src/runzip.c:184-241); widen the chunk byte width to the
+    # whole file and splice verified cross-chunk matches into literal
+    # spans (models/crosschunk.py).
+    xindex = None
+    w_override = None
+    if (settings.cross_chunk or settings.unlimited) and len(bounds) > 1:
+        from .crosschunk import CrossChunkIndex
+        xindex = CrossChunkIndex()
+        w_override = C.chunk_byte_width(total)
+
+    def finish_chunk(ci, p0, csize, chunk, tokens):
+        nonlocal written
+        if xindex is not None:
+            from .crosschunk import find_cross_matches, \
+                splice_cross_matches
+            max_dist = (1 << (8 * w_override)) - 1
+            cross = find_cross_matches(data, xindex, p0, csize, max_dist)
+            tokens = splice_cross_matches(*tokens, cross, p0)
+            xindex.add_chunk(chunk, p0)
+        eof = ci == len(bounds) - 1
+        written += _compress_chunk(out, chunk, eof, ctype, cfg,
+                                   settings, pool, lambda _c: tokens,
+                                   crypto, w_override=w_override)
+        if hasher is not None:
+            hasher.update(chunk)
+        if settings.progress:
+            settings.progress("rzip", p0 + csize, total)
+
     # TPU path: pipeline chunks - submit k+1's device work before
     # collecting k, overlapping device compute with host packaging and
     # backend compression (device dispatch is asynchronous).
@@ -232,27 +269,11 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
                     pn, cn = bounds[nxt]
                     jobs[nxt] = TpuMatchJob(np.asarray(data[pn:pn + cn]))
                 chunk = np.asarray(data[p0:p0 + csize])
-                eof = ci == len(bounds) - 1
-                job = jobs.pop(ci)
-                written += _compress_chunk(out, chunk, eof, ctype, cfg,
-                                           settings, pool,
-                                           lambda _c: job.collect(),
-                                           crypto)
-                if hasher is not None:
-                    hasher.update(chunk)
-                if settings.progress:
-                    settings.progress("rzip", p0 + csize, total)
+                finish_chunk(ci, p0, csize, chunk, jobs.pop(ci).collect())
         else:
             for ci, (p0, csize) in enumerate(bounds):
-                chunk = data[p0:p0 + csize]
-                eof = ci == len(bounds) - 1
-                written += _compress_chunk(out, chunk, eof, ctype, cfg,
-                                           settings, pool, encode_tokens,
-                                           crypto)
-                if hasher is not None:
-                    hasher.update(chunk)
-                if settings.progress:
-                    settings.progress("rzip", p0 + csize, total)
+                chunk = np.asarray(data[p0:p0 + csize])
+                finish_chunk(ci, p0, csize, chunk, encode_tokens(chunk))
     finally:
         pool.shutdown()
     if hasher is not None:
@@ -270,9 +291,9 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
 def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
                     cfg: BackendConfig, settings: Settings,
                     pool: ThreadPoolExecutor, encode_tokens,
-                    crypto=None) -> int:
+                    crypto=None, w_override: Optional[int] = None) -> int:
     csize = len(chunk)
-    w = C.chunk_byte_width(max(csize, 1))
+    w = w_override or C.chunk_byte_width(max(csize, 1))
     kinds, lengths, dists = encode_tokens(chunk)
     kinds, lengths, dists = split_long_runs(kinds, lengths, dists)
     crc = zlib.crc32(chunk) & 0xFFFFFFFF
@@ -441,13 +462,21 @@ def iter_decompress(fd: BinaryIO, settings: Optional[Settings] = None):
     pool = ThreadPoolExecutor(max_workers=settings.resolved_threads())
     out_total = 0
     cumulative_crc = 0
+    # History for cross-chunk match distances (the fd_hist analog,
+    # reference src/runzip.c:172-182): multi-chunk archives may reach
+    # into earlier chunks, so prior output is retained.  (File-backed
+    # history for beyond-RAM archives is on the roadmap.)
+    history = bytearray()
     try:
         while True:
             hdr = read_chunk_header(fd, encrypted=crypto is not None)
             if hdr is None:
                 break
             chunk_bytes, _ = _decompress_chunk(
-                fd, hdr, magic, cfg, pool, b"", cumulative_crc, crypto)
+                fd, hdr, magic, cfg, pool, bytes(history),
+                cumulative_crc, crypto)
+            if not hdr.eof:
+                history += chunk_bytes
             cumulative_crc = zlib.crc32(chunk_bytes, cumulative_crc)
             if hasher is not None:
                 hasher.update(chunk_bytes)
