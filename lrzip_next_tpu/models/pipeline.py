@@ -136,6 +136,12 @@ def _backend_cfg(settings: Settings) -> BackendConfig:
         threads=settings.resolved_threads())
 
 
+# Largest chunk the single-chip matcher keeps resident in HBM (v5e has
+# 16GB; the pipeline peaks around ~26 bytes per input byte).  Bigger
+# windows come from cross-chunk matching, not bigger chunks.
+TPU_CHUNK_CAP = 256 << 20
+
+
 def plan_chunks(total: int, settings: Settings,
                 ram_budget: Optional[int] = None) -> List[int]:
     """Split the input into rzip chunk sizes (reference src/rzip.c:999-1020:
@@ -157,6 +163,8 @@ def plan_chunks(total: int, settings: Settings,
     else:
         from ..utils.memplan import default_max_chunk
         max_chunk = default_max_chunk(ram_budget)
+    if settings.use_tpu and not settings.max_chunk:
+        max_chunk = min(max_chunk, TPU_CHUNK_CAP)
     sizes = []
     left = total
     while left > 0:
