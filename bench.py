@@ -71,23 +71,30 @@ def build_corpus(total_bytes: int) -> bytes:
     return bytes(out[:total_bytes])
 
 
-def bench_matcher_device(data: np.ndarray) -> float:
-    """Median device throughput of the matcher stages (MB/s)."""
+def bench_matcher_device(data: np.ndarray, stride: int = 8) -> float:
+    """Median device throughput of the matcher stages (MB/s).
+
+    ``stride`` is the default anchor sampling at compression level 7
+    (ops/matcher.default_anchor_stride): content-defined minimizer
+    anchors cut sort/compact work by ~stride x, the TPU analog of the
+    reference's per-level hash insert frequency (src/rzip.c:67-82)."""
     import jax
     import jax.numpy as jnp
-    from lrzip_next_tpu.ops.matcher import _compact_impl, match_candidates
+    from lrzip_next_tpu.ops.matcher import (anchor_candidates,
+                                            _seed_compact_impl)
 
-    compact = _compact_impl()  # Pallas kernel on real accelerators
+    compact = _seed_compact_impl()  # Pallas kernel on real accelerators
     dev = jnp.asarray(data)
     int(jnp.sum(dev[:1]))  # force upload (block_until_ready is async
     # under the axon remote backend; scalar readback is the sync)
     n = data.shape[0]
     m = n - 31
-    cap = max(min(m, 4096), m // 16)
+    kk = m // stride
+    cap = max(min(kk, 4096), kk // 8)
 
     def step():
-        cand, ok = match_candidates(dev)
-        s, e, src, k = compact(cand, ok, jnp.int32(m), cap)
+        pos, cand, ok = anchor_candidates(dev, stride)
+        s, e, src, k = compact(pos, cand, ok, jnp.int32(m), cap, stride)
         return int(k)  # scalar readback forces completion
 
     step()  # compile

@@ -64,6 +64,7 @@ class Settings:
     zpaq_bs: int = 6
     bzip3_bs: int = 4
     use_tpu: bool = False          # rzip matcher on TPU (ops pipeline)
+    anchor_stride: int = 0         # TPU matcher sampling; 0 = by level
     cross_chunk: bool = False      # matches reaching into earlier chunks
     lz4_test: bool = True          # compressibility gate before backends
     threshold: int = 100
@@ -93,6 +94,12 @@ class Settings:
         # reference: round(level * 5 / 9) (src/util.c:134)
         return self.zpaq_level or max(1, round(
             self.compression_level * 5 / 9))
+
+    def resolved_anchor_stride(self) -> int:
+        if self.anchor_stride:
+            return self.anchor_stride
+        from ..ops.matcher import default_anchor_stride
+        return default_anchor_stride(self.resolved_rzip_level())
 
     def resolved_zstd(self) -> Tuple[int, int]:
         lvl = min(max(self.compression_level, 1), 9)
@@ -177,7 +184,8 @@ def plan_chunks(total: int, settings: Settings,
 def _encode_tokens(chunk: np.ndarray, settings: Settings):
     if settings.use_tpu:
         from ..ops.matcher import rzip_encode_chunk_tpu
-        return rzip_encode_chunk_tpu(chunk)
+        return rzip_encode_chunk_tpu(
+            chunk, stride=settings.resolved_anchor_stride())
     return rzip_host.rzip_encode_chunk(chunk)
 
 
@@ -267,15 +275,18 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
         if settings.use_tpu and not custom_tokens:
             from ..ops.matcher import TpuMatchJob
             jobs = {}
+            stride = settings.resolved_anchor_stride()
             lookahead = 1
             for ci in range(min(lookahead + 1, len(bounds))):
                 p0, cs = bounds[ci]
-                jobs[ci] = TpuMatchJob(np.asarray(data[p0:p0 + cs]))
+                jobs[ci] = TpuMatchJob(np.asarray(data[p0:p0 + cs]),
+                                       stride=stride)
             for ci, (p0, csize) in enumerate(bounds):
                 nxt = ci + lookahead + 1
                 if nxt < len(bounds):
                     pn, cn = bounds[nxt]
-                    jobs[nxt] = TpuMatchJob(np.asarray(data[pn:pn + cn]))
+                    jobs[nxt] = TpuMatchJob(np.asarray(data[pn:pn + cn]),
+                                            stride=stride)
                 chunk = np.asarray(data[p0:p0 + csize])
                 finish_chunk(ci, p0, csize, chunk, jobs.pop(ci).collect())
         else:

@@ -99,15 +99,12 @@ def _compact_tile(mask: jnp.ndarray, vals):
     return vs
 
 
-def _compact_kernel(start_ref, end_ref, cand_ref,
+def _compact_kernel(start_ref, end_ref, pos_ref, cand_ref,
                     out_s_ref, out_e_ref, out_c_ref):
-    b = pl.program_id(0)
     start = start_ref[0].astype(jnp.int32)            # (8, 128)
     end = end_ref[0].astype(jnp.int32)
+    pos = pos_ref[0]                                  # (8, 128) int32
     cand = cand_ref[0]                                # (8, 128) int32
-    lin = (jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0) * _L
-           + jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1))
-    pos = lin + b * T
 
     s_pos, s_cand = _compact_tile(start, [pos, cand])
     (e_pos,) = _compact_tile(end, [pos])
@@ -124,7 +121,6 @@ def compact_runs_pallas(cand: jnp.ndarray, ok: jnp.ndarray,
     returns (starts, ends, srcs, n_runs) with k-th start paired to the
     k-th end (runs cannot nest)."""
     m = cand.shape[0]
-    mb = ((m + T - 1) // T) * T
     idx = jnp.arange(m, dtype=jnp.int32)
     valid = ok & (idx < limit)
     cont = jnp.concatenate([
@@ -132,6 +128,19 @@ def compact_runs_pallas(cand: jnp.ndarray, ok: jnp.ndarray,
         valid[1:] & valid[:-1] & (cand[1:] == cand[:-1] + 1)])
     start = valid & ~cont
     is_end = valid & jnp.concatenate([~cont[1:], jnp.ones((1,), bool)])
+    return compact_masked_pallas(start, is_end, idx, cand, cap,
+                                 interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def compact_masked_pallas(start: jnp.ndarray, is_end: jnp.ndarray,
+                          pos: jnp.ndarray, cand: jnp.ndarray, cap: int,
+                          interpret: bool = False):
+    """General masked compaction: pack pos[start], pos[is_end], and
+    cand[start] into dense cap-sized arrays (k-th start pairs with the
+    k-th end).  Returns (starts, ends, srcs, n_runs)."""
+    m = cand.shape[0]
+    mb = ((m + T - 1) // T) * T
     n_runs = jnp.sum(start.astype(jnp.int32))
 
     pad = mb - m
@@ -140,6 +149,7 @@ def compact_runs_pallas(cand: jnp.ndarray, ok: jnp.ndarray,
         nb, _R, _L)
     end_m = jnp.pad(is_end, (0, pad)).astype(jnp.int8).reshape(
         nb, _R, _L)
+    pos_p = jnp.pad(pos, (0, pad)).reshape(nb, _R, _L)
     cand_p = jnp.pad(cand, (0, pad)).reshape(nb, _R, _L)
     counts_s = jnp.sum(start_m.astype(jnp.int32), axis=(1, 2))
     counts_e = jnp.sum(end_m.astype(jnp.int32), axis=(1, 2))
@@ -152,11 +162,11 @@ def compact_runs_pallas(cand: jnp.ndarray, ok: jnp.ndarray,
     ts, te, tc = pl.pallas_call(
         _compact_kernel,
         grid=(nb,),
-        in_specs=[spec, spec, spec],
+        in_specs=[spec, spec, spec, spec],
         out_specs=[spec, spec, spec],
         out_shape=[tile_shape] * 3,
         interpret=interpret,
-    )(start_m, end_m, cand_p)
+    )(start_m, end_m, pos_p, cand_p)
 
     # merge per-tile prefixes with one k-sized gather: run j lives in
     # tile b = first cum > j, at slot j - cum[b-1].  tile-of-run comes

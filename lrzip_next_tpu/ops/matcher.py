@@ -103,6 +103,140 @@ def match_candidates(data: jnp.ndarray
     return cand, cand >= 0
 
 
+_U32_MAX = jnp.uint32(0xFFFFFFFF)
+_I32_BIG = jnp.int32(0x7FFFFFF0)
+
+
+def _forward_window_min(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """y[i] = min(x[i : i+length]) (same length; tail windows truncate).
+    Doubling shifts - O(log length) dense passes, no gathers."""
+    y = x
+    cover = 1
+    while cover < length:
+        step = min(cover, length - cover)
+        shifted = jnp.concatenate(
+            [y[step:], jnp.full((step,), _U32_MAX, y.dtype)])
+        y = jnp.minimum(y, shifted)
+        cover += step
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def anchor_candidates(data: jnp.ndarray, stride: int):
+    """Sampled-anchor variant of :func:`match_candidates`.
+
+    The reference trades coverage for speed with its per-level hash
+    insert frequency and tag-mask sparsification (src/rzip.c:67-82,
+    304-383).  The TPU analog: content-defined **anchors** - positions
+    whose fingerprint is the minimum of the surrounding
+    ``stride``-radius window (invariant under shifts of duplicated
+    content, like winnowing/minimizers) - extracted one-per-``stride``
+    positions with dense reductions.  Sorting and compaction then run
+    over m/stride elements instead of m, cutting matcher cost ~stride x.
+    Detectable matches shrink to ~MINIMUM_MATCH + 1.5*stride bytes;
+    shorter redundancy is the backend codec's job anyway.
+
+    Returns (pos, cand, ok): anchor byte positions (ascending), the
+    candidate (nearest previous equal-fingerprint anchor) byte position,
+    and validity.  Length m // stride.
+    """
+    n = data.shape[0]
+    m = n - HASH_W + 1
+    k = m // stride
+    ma = k * stride
+    d32 = data.astype(jnp.uint32)
+    fpa = _window_fps_tree(d32, _M1)[:m]
+    fpb = _window_fps_tree(d32, _M2)[:m]
+
+    # local-min mask over the centered window [p - h, p + h]
+    h = max(stride // 2, 1)
+    fwd = _forward_window_min(fpa, h + 1)          # min over [p, p+h]
+    back = jnp.concatenate(
+        [jnp.full((h,), _U32_MAX, fwd.dtype), fwd[:-h]])  # [p-h, p]
+    is_anchor = fpa == jnp.minimum(fwd, back)
+
+    # one anchor per fixed stride-row: the masked-min fingerprint
+    rows_a = jnp.where(is_anchor, fpa, _U32_MAX)[:ma].reshape(k, stride)
+    rows_b = fpb[:ma].reshape(k, stride)
+    row_min = jnp.min(rows_a, axis=1)
+    ok_row = row_min != _U32_MAX
+    eq = rows_a == row_min[:, None]
+    a_fpb = jnp.min(jnp.where(eq, rows_b, _U32_MAX), axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, stride), 1)
+    sel = eq & (rows_b == a_fpb[:, None])
+    a_pos = (jnp.arange(k, dtype=jnp.int32) * stride
+             + jnp.min(jnp.where(sel, col, jnp.int32(stride)), axis=1))
+    a_pos = jnp.where(ok_row, a_pos, _I32_BIG)
+
+    # nearest previous equal-fingerprint anchor via one k-sized sort
+    okint = ok_row.astype(jnp.int32)
+    sfpa, sfpb, spos, sok = jax.lax.sort(
+        (row_min, a_fpb, a_pos, okint), num_keys=3)
+    same = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (sfpa[1:] == sfpa[:-1]) & (sfpb[1:] == sfpb[:-1])
+        & (sok[1:] > 0) & (sok[:-1] > 0)])
+    prev_pos = jnp.concatenate([jnp.zeros((1,), jnp.int32), spos[:-1]])
+    cand_sorted = jnp.where(same, prev_pos, jnp.int32(-1))
+    # back to position order (anchors were generated ascending)
+    pos, cand = jax.lax.sort((spos, cand_sorted), num_keys=1)
+    return pos, cand, cand >= 0
+
+
+def _anchor_chain_masks(pos, cand, ok, limit, stride):
+    """Chain seeds with constant match distance into single runs so a
+    long duplicated region ships to the host as one triple."""
+    valid = ok & (pos < limit) & (cand >= 0) & (cand < limit)
+    dist = pos - cand
+    gap = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           pos[1:] - pos[:-1]])
+    cont = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        valid[1:] & valid[:-1] & (dist[1:] == dist[:-1])
+        & (gap[1:] <= 4 * stride)])
+    start = valid & ~cont
+    is_end = valid & jnp.concatenate([~cont[1:], jnp.ones((1,), bool)])
+    return start, is_end
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "stride"))
+def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
+    """XLA fallback seed compaction (CPU meshes and tests)."""
+    start, is_end = _anchor_chain_masks(pos, cand, ok, limit, stride)
+    kk = pos.shape[0]
+    n_runs = jnp.sum(start.astype(jnp.int32))
+    si = jnp.nonzero(start, size=cap, fill_value=kk - 1)[0]
+    ei = jnp.nonzero(is_end, size=cap, fill_value=kk - 1)[0]
+    return pos[si], pos[ei], cand[si], n_runs
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "stride"))
+def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int):
+    from .compact_pallas import compact_masked_pallas
+    start, is_end = _anchor_chain_masks(pos, cand, ok, limit, stride)
+    return compact_masked_pallas(start, is_end, pos, cand, cap)
+
+
+def _seed_compact_impl():
+    if jax.devices()[0].platform != "cpu":
+        return compact_seeds_pallas
+    return compact_seeds
+
+
+def default_anchor_stride(rzip_level: int) -> int:
+    """Map the reference's 1-9 rzip effort dial (src/rzip.c:67-82) to an
+    anchor sampling stride: level 9 = exhaustive (dense path)."""
+    if rzip_level >= 9:
+        return 1
+    if rzip_level == 8:
+        return 4
+    if rzip_level >= 5:
+        return 8
+    if rzip_level >= 3:
+        return 16
+    return 32
+
+
 @jax.jit
 def chain_runs(cand: jnp.ndarray, ok: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -260,11 +394,11 @@ class TpuMatchJob:
     overlaps device compute with host packaging/backends.
     """
 
-    def __init__(self, data: np.ndarray):
+    def __init__(self, data: np.ndarray, stride: int = 1):
         data = np.asarray(data, dtype=np.uint8)
         self.data = data
         self.n = len(data)
-        self.trivial = self.n <= HASH_W + 4
+        self.trivial = self.n <= HASH_W + 4 or self.n < 4 * stride
         if self.trivial:
             return
         nb = _bucket_size(self.n)
@@ -274,14 +408,25 @@ class TpuMatchJob:
         else:
             padded = data
         dev = jnp.asarray(padded)
-        cand, ok = match_candidates(dev)
         m = padded.shape[0] - HASH_W + 1
         self.limit = self.n - HASH_W + 1
-        self.cap = max(min(m, 4096), m // 16)
         self.m = m
-        self.cand, self.ok = cand, ok
-        self.compacted = _compact_impl()(cand, ok, jnp.int32(self.limit),
-                                         self.cap)
+        if stride > 1:
+            k = m // stride
+            self.cap = max(min(k, 4096), k // 8)
+            pos, cand, ok = anchor_candidates(dev, stride)
+            self.args = (pos, cand, ok)
+            self.compacted = _seed_compact_impl()(
+                pos, cand, ok, jnp.int32(self.limit), self.cap, stride)
+            self.redo = lambda: _seed_compact_impl()(
+                pos, cand, ok, jnp.int32(self.limit), k, stride)
+        else:
+            cand, ok = match_candidates(dev)
+            self.cap = max(min(m, 4096), m // 16)
+            self.compacted = _compact_impl()(
+                cand, ok, jnp.int32(self.limit), self.cap)
+            self.redo = lambda: _compact_impl()(
+                cand, ok, jnp.int32(self.limit), m)
 
     def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self.trivial:
@@ -294,8 +439,7 @@ class TpuMatchJob:
         starts, ends, srcs, n_runs = self.compacted
         k = int(n_runs)
         if k > self.cap:  # overflow: redo uncapped (rare)
-            starts, ends, srcs, n_runs = _compact_impl()(
-                self.cand, self.ok, jnp.int32(self.limit), self.m)
+            starts, ends, srcs, n_runs = self.redo()
             k = int(n_runs)
         if k == 0:
             rs = rl = src = np.zeros(0, np.int64)
@@ -308,7 +452,7 @@ class TpuMatchJob:
                                       data=self.data)
 
 
-def rzip_encode_chunk_tpu(data: np.ndarray
+def rzip_encode_chunk_tpu(data: np.ndarray, stride: int = 1
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full TPU-path rzip encode of one chunk -> columnar tokens.
 
@@ -316,4 +460,4 @@ def rzip_encode_chunk_tpu(data: np.ndarray
     after all real positions (position is the sort tiebreak), so real
     candidates are unaffected and results are sliced back to n.
     """
-    return TpuMatchJob(data).collect()
+    return TpuMatchJob(data, stride=stride).collect()

@@ -84,3 +84,82 @@ def test_long_range_dedup_quality():
     m = kinds == 1
     # the 50k duplicate must be found nearly in full
     assert lengths[m].sum() >= 49_000
+
+
+def anchor_roundtrip(data: bytes, stride: int) -> tuple:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    kinds, lengths, dists = rzip_encode_chunk_tpu(arr, stride=stride)
+    assert lengths.sum() == len(data)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    m = kinds == 1
+    assert (lengths[m] >= MINIMUM_MATCH).all()
+    assert (dists[m] >= 1).all()
+    assert (starts[m] - dists[m] >= 0).all()
+    # every emitted match must be byte-exact against the history
+    for s, ln, d in zip(starts[m], lengths[m], dists[m]):
+        assert np.array_equal(arr[s:s + ln], arr[s - d:s - d + ln])
+    lit = literals_of(arr, kinds, lengths)
+    out = replay_tokens(kinds, lengths, dists, lit)
+    assert out.tobytes() == data
+    return kinds, lengths, dists
+
+
+@pytest.mark.parametrize("stride", [4, 8, 16, 32])
+def test_anchor_roundtrip_mixed(corpus_factory, stride):
+    anchor_roundtrip(corpus_factory(150_000, "mixed"), stride)
+
+
+@pytest.mark.parametrize("stride", [8, 16])
+def test_anchor_roundtrip_random(corpus_factory, stride):
+    anchor_roundtrip(corpus_factory(80_000, "random"), stride)
+
+
+@pytest.mark.parametrize("stride", [8, 32])
+def test_anchor_roundtrip_zeros(stride):
+    k, l, d = anchor_roundtrip(bytes(200_000), stride)
+    assert l[k == 1].sum() > 190_000
+
+
+@pytest.mark.parametrize("stride", [8, 16])
+def test_anchor_long_range_dedup_quality(stride):
+    seg = np.random.default_rng(3).integers(0, 256, 50_000,
+                                            dtype=np.uint8).tobytes()
+    gap = np.random.default_rng(4).integers(0, 256, 200_000,
+                                            dtype=np.uint8).tobytes()
+    data = seg + gap + seg
+    kinds, lengths, dists = anchor_roundtrip(data, stride)
+    m = kinds == 1
+    # the 50k duplicate must be found nearly in full even when sampled
+    assert lengths[m].sum() >= 49_000
+
+
+@pytest.mark.parametrize("stride", [8, 16])
+def test_anchor_shifted_copies(stride):
+    # copies at alignments not multiple of stride: content-defined
+    # anchors must still land on the duplicated content
+    base = np.random.default_rng(7).integers(0, 256, 40_000,
+                                             dtype=np.uint8)
+    pad = np.random.default_rng(8).integers(0, 256, 13,
+                                            dtype=np.uint8)
+    data = np.concatenate([base, pad, base, pad[:7], base]).tobytes()
+    kinds, lengths, dists = anchor_roundtrip(data, stride)
+    m = kinds == 1
+    assert lengths[m].sum() >= 2 * 40_000 - 2_000
+
+
+def test_anchor_padding_no_phantom_tokens():
+    data = np.random.default_rng(2).integers(0, 256, (1 << 16) + 7,
+                                             dtype=np.uint8)
+    data[-7:] = 0
+    anchor_roundtrip(data.tobytes(), 8)
+
+
+def test_default_anchor_stride_levels():
+    from lrzip_next_tpu.ops.matcher import default_anchor_stride
+    assert default_anchor_stride(9) == 1
+    assert default_anchor_stride(7) == 8
+    assert default_anchor_stride(1) == 32
+    # monotone: higher level never samples sparser
+    vals = [default_anchor_stride(l) for l in range(1, 10)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))

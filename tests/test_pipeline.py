@@ -109,3 +109,22 @@ def test_delta_filter_roundtrip(corpus_factory):
     assert magic.filter_flag == C.FILTER_DELTA
     assert magic.delta_offset == 4
     assert lrz.decompress(archive) == data
+
+
+@pytest.mark.parametrize("stride", [0, 1, 8])
+def test_tpu_path_anchor_strides(stride, corpus_factory):
+    # full archive round trip through the TPU matcher (CPU test mesh)
+    # at dense (1), sampled (8), and level-derived (0) strides
+    data = corpus_factory(300_000, "text")
+    s = lrz.Settings(method="zstd", use_tpu=True, anchor_stride=stride,
+                     threads=2)
+    archive = lrz.compress(data, s)
+    assert lrz.decompress(archive) == data
+
+
+def test_tpu_path_multichunk_anchors(corpus_factory):
+    data = corpus_factory(500_000, "mixed")
+    s = lrz.Settings(method="zstd", use_tpu=True, anchor_stride=8,
+                     max_chunk=150_000, threads=2)
+    archive = lrz.compress(data, s)
+    assert lrz.decompress(archive) == data
