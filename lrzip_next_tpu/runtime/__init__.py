@@ -17,7 +17,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "csrc", "hostops.cpp"),
-         os.path.join(_HERE, "csrc", "zpaq.cpp")]
+         os.path.join(_HERE, "csrc", "zpaq.cpp"),
+         os.path.join(_HERE, "csrc", "bwt.cpp")]
 _SO = os.path.join(_HERE, "_hostops.so")
 
 _lib = None
@@ -74,6 +75,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.zpaq_decode.restype = i64
         lib.zpaq_decode.argtypes = [u8p, i64, u8p, i64, ctypes.c_char_p,
                                     ctypes.c_int]
+        lib.bwt_block_encode.restype = i64
+        lib.bwt_block_encode.argtypes = [u8p, i64, u8p, i64]
+        lib.bwt_block_decode.restype = i64
+        lib.bwt_block_decode.argtypes = [u8p, i64, u8p, i64]
         _lib = lib
         return _lib
 
@@ -200,6 +205,33 @@ def zpaq_decode(payload: bytes, u_len: int) -> Optional[bytes]:
         raise ValueError("corrupt zpaq block: "
                          + err.value.decode("utf-8", "replace"))
     return out[:ret].tobytes()
+
+
+def bwt_block_encode(data: bytes) -> Optional[bytes]:
+    """BWT-family block encode (backends/bzip3_codec.py).  Returns None
+    when the runtime is unavailable or the block expands."""
+    lib = _load()
+    if lib is None or len(data) == 0:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + len(data) // 8 + 256
+    out = np.empty(cap, dtype=np.uint8)
+    ret = lib.bwt_block_encode(_u8p(src), len(data), _u8p(out), cap)
+    if ret < 0:
+        return None
+    return out[:ret].tobytes()
+
+
+def bwt_block_decode(payload: bytes, u_len: int) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(max(u_len, 1), dtype=np.uint8)
+    ret = lib.bwt_block_decode(_u8p(src), len(payload), _u8p(out), u_len)
+    if ret != u_len:
+        raise ValueError("corrupt BWT block (native decode)")
+    return out[:u_len].tobytes()
 
 
 def parse_token_stream(stream0: np.ndarray, chunk_bytes: int):

@@ -1,0 +1,399 @@
+// BWT-family block codec for the bzip3 backend slot (CTYPE 9).
+//
+// The reference links an external libbz3 (configure.ac:123-178; calls at
+// src/stream.c:231-274 via bz3_new/bz3_encode_block).  No libbz3 source
+// or test vectors exist in this environment, so bit-compatibility with
+// libbz3 cannot be established; this is a from-scratch BWT codec of the
+// same family and strength class (block-sorting + MTF + zero-run coding
+// + adaptive range coder), self-interoperable and guarded by its own
+// block magic.  See lrzip_next_tpu/backends/bzip3_codec.py for the
+// framing and the compatibility note.
+//
+// Pipeline per block:
+//   SA-IS suffix array (linear time, any alphabet)  ->  BWT with an
+//   explicit virtual sentinel (row index stored)    ->  move-to-front
+//   ->  RUNA/RUNB zero-run coding (the bzip2 trick) ->  binary range
+//   coder with an adaptive bit-tree model conditioned on symbol class.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ------------------------------------------------------------- SA-IS
+
+// Generic SA-IS over an int32 string `s` of length n with alphabet
+// size K (values 0..K-1).  Writes suffix array into sa.
+void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
+              std::vector<int32_t>& scratch) {
+    if (n == 0) return;
+    if (n == 1) { sa[0] = 0; return; }
+    std::vector<bool> is_s(n);
+    is_s[n - 1] = true;  // last suffix: by construction the sentinel
+    for (int32_t i = n - 2; i >= 0; i--)
+        is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
+    auto is_lms = [&](int32_t i) {
+        return i > 0 && is_s[i] && !is_s[i - 1];
+    };
+
+    std::vector<int32_t> bkt(K + 1);
+    auto bucket_bounds = [&]() {
+        std::fill(bkt.begin(), bkt.end(), 0);
+        for (int32_t i = 0; i < n; i++) bkt[s[i] + 1]++;
+        for (int32_t c = 0; c < K; c++) bkt[c + 1] += bkt[c];
+    };
+
+    auto induce = [&](const std::vector<int32_t>& lms) {
+        std::fill(sa, sa + n, -1);
+        // place LMS suffixes at ends of their buckets (reverse order)
+        bucket_bounds();
+        std::vector<int32_t> tail(K);
+        for (int32_t c = 0; c < K; c++) tail[c] = bkt[c + 1];
+        for (int32_t j = (int32_t)lms.size() - 1; j >= 0; j--) {
+            int32_t i = lms[j];
+            sa[--tail[s[i]]] = i;
+        }
+        // induce L-type from left
+        std::vector<int32_t> head(K);
+        for (int32_t c = 0; c < K; c++) head[c] = bkt[c];
+        for (int32_t k = 0; k < n; k++) {
+            int32_t j = sa[k];
+            if (j > 0 && !is_s[j - 1]) sa[head[s[j - 1]]++] = j - 1;
+        }
+        // induce S-type from right
+        for (int32_t c = 0; c < K; c++) tail[c] = bkt[c + 1];
+        for (int32_t k = n - 1; k >= 0; k--) {
+            int32_t j = sa[k];
+            if (j > 0 && is_s[j - 1]) sa[--tail[s[j - 1]]] = j - 1;
+        }
+    };
+
+    std::vector<int32_t> lms;
+    for (int32_t i = 1; i < n; i++)
+        if (is_lms(i)) lms.push_back(i);
+
+    induce(lms);
+
+    // compact sorted LMS suffixes and name their substrings
+    std::vector<int32_t> sorted_lms;
+    sorted_lms.reserve(lms.size());
+    for (int32_t k = 0; k < n; k++)
+        if (is_lms(sa[k])) sorted_lms.push_back(sa[k]);
+
+    std::vector<int32_t> name(n, -1);
+    int32_t names = 0;
+    int32_t prev = -1;
+    for (int32_t j : sorted_lms) {
+        if (prev < 0) {
+            name[j] = names++;
+        } else {
+            // compare LMS substrings at prev and j (chars+types up to
+            // and including the terminating LMS position)
+            bool same = true;
+            for (int32_t d = 0;; d++) {
+                if (prev + d >= n || j + d >= n ||
+                    s[prev + d] != s[j + d] ||
+                    is_s[prev + d] != is_s[j + d]) { same = false; break; }
+                bool le = is_lms(prev + d), lj = is_lms(j + d);
+                if (d > 0 && (le || lj)) { same = le && lj; break; }
+            }
+            name[j] = same ? names - 1 : names++;
+        }
+        prev = j;
+    }
+
+    if (names < (int32_t)lms.size()) {
+        // recurse on the named LMS string
+        std::vector<int32_t> s1(lms.size()), sa1(lms.size());
+        for (size_t k = 0; k < lms.size(); k++) s1[k] = name[lms[k]];
+        sais_int(s1.data(), sa1.data(), (int32_t)lms.size(), names,
+                 scratch);
+        std::vector<int32_t> ordered(lms.size());
+        for (size_t k = 0; k < lms.size(); k++)
+            ordered[k] = lms[sa1[k]];
+        induce(ordered);
+    } else {
+        // names unique: LMS substring order == LMS suffix order
+        induce(sorted_lms);
+    }
+}
+
+// BWT with explicit sentinel: conceptual string S' = S + [256].
+// Returns primary row q (where the sentinel character would sit in the
+// BWT column); out gets the n remaining BWT bytes.
+int32_t bwt_forward(const uint8_t* in, uint8_t* out, int32_t n) {
+    std::vector<int32_t> s(n + 1), sa(n + 1);
+    for (int32_t i = 0; i < n; i++) s[i] = in[i] + 1;
+    s[n] = 0;  // sentinel, strictly smallest
+    std::vector<int32_t> scratch;
+    sais_int(s.data(), sa.data(), n + 1, 258, scratch);
+    // rotations of S' sorted = suffix order (sentinel ends the string)
+    int32_t q = -1, w = 0;
+    for (int32_t i = 0; i <= n; i++) {
+        int32_t j = sa[i];
+        if (j == 0) { q = i; continue; }  // char before suffix 0 = sentinel
+        out[w++] = in[j - 1];
+    }
+    return q;
+}
+
+// Inverse BWT for the explicit-sentinel formulation.
+void bwt_inverse(const uint8_t* bwt, uint8_t* out, int32_t n,
+                 int32_t q) {
+    // reinsert sentinel (symbol 256) at row q; alphabet 0..256 where
+    // byte b is symbol b+1 and sentinel is 0
+    std::vector<int32_t> col(n + 1);
+    for (int32_t i = 0, w = 0; i <= n; i++)
+        col[i] = (i == q) ? 0 : (int32_t)bwt[w++] + 1;
+    int32_t cnt[258] = {0};
+    for (int32_t i = 0; i <= n; i++) cnt[col[i] + 1]++;
+    for (int32_t c = 0; c < 257; c++) cnt[c + 1] += cnt[c];
+    std::vector<int32_t> lf(n + 1);
+    for (int32_t i = 0; i <= n; i++) lf[i] = cnt[col[i]]++;
+    // row 0 is the sentinel-first rotation "$S"; its BWT char is
+    // S[n-1], and LF steps walk the string right-to-left
+    int32_t p = 0;
+    for (int32_t k = n - 1; k >= 0; k--) {
+        int32_t c = col[p];
+        out[k] = (uint8_t)(c - 1);
+        p = lf[p];
+    }
+}
+
+// ------------------------------------------------------- range coder
+
+struct RangeEncoder {
+    std::vector<uint8_t>& out;
+    uint64_t low = 0;
+    uint32_t range = 0xFFFFFFFFu;
+    uint8_t cache = 0;
+    int64_t cache_size = 1;
+    explicit RangeEncoder(std::vector<uint8_t>& o) : out(o) {}
+    void shift_low() {
+        if ((uint32_t)(low >> 32) != 0 || (uint32_t)low < 0xFF000000u) {
+            uint8_t carry = (uint8_t)(low >> 32);
+            while (cache_size) {
+                out.push_back((uint8_t)(cache + carry));
+                cache = 0xFF;
+                cache_size--;
+            }
+            cache = (uint8_t)(low >> 24);
+        }
+        cache_size++;
+        low = (low << 8) & 0xFFFFFFFFu;
+    }
+    void encode_bit(uint16_t& prob, int bit) {
+        uint32_t bound = (range >> 12) * prob;
+        if (!bit) {
+            range = bound;
+            prob += (uint16_t)((4096 - prob) >> 5);
+        } else {
+            low += bound;
+            range -= bound;
+            prob -= (uint16_t)(prob >> 5);
+        }
+        while (range < (1u << 24)) { range <<= 8; shift_low(); }
+    }
+    void flush() { for (int i = 0; i < 5; i++) shift_low(); }
+};
+
+struct RangeDecoder {
+    const uint8_t* in;
+    int64_t n, p = 0;
+    uint32_t range = 0xFFFFFFFFu, code = 0;
+    RangeDecoder(const uint8_t* i, int64_t len) : in(i), n(len) {
+        p = 1;  // first byte from the encoder cache is always 0
+        for (int k = 0; k < 4; k++)
+            code = (code << 8) | (p < n ? in[p++] : 0);
+    }
+    int decode_bit(uint16_t& prob) {
+        uint32_t bound = (range >> 12) * prob;
+        int bit;
+        if (code < bound) {
+            range = bound;
+            prob += (uint16_t)((4096 - prob) >> 5);
+            bit = 0;
+        } else {
+            code -= bound;
+            range -= bound;
+            prob -= (uint16_t)(prob >> 5);
+            bit = 1;
+        }
+        while (range < (1u << 24)) {
+            range <<= 8;
+            code = (code << 8) | (p < n ? in[p++] : 0);
+        }
+        return bit;
+    }
+};
+
+// ------------------------------------------------- MTF + RLE + model
+//
+// Post-MTF symbols: runs of zeros become RUNA/RUNB bijective base-2
+// digits (bzip2's trick, vendored reference analog huffman.c); other
+// MTF values v become symbol v+1.  Alphabet: 0=RUNA, 1=RUNB,
+// 2..256=v+1, 257=EOB.
+constexpr int NSYM = 258;
+constexpr int SYM_BITS = 9;
+
+// adaptive bit-tree over 9-bit symbols, conditioned on a 3-way class
+// of the previous symbol (run digit / small / large) - cheap context
+// that buys most of an order-1 model's gain on BWT output.
+struct SymModel {
+    uint16_t tree[3][1 << SYM_BITS];
+    SymModel() {
+        for (int c = 0; c < 3; c++)
+            for (int i = 0; i < (1 << SYM_BITS); i++)
+                tree[c][i] = 2048;
+    }
+    static int clas(int prev_sym) {
+        if (prev_sym <= 1) return 0;
+        if (prev_sym <= 9) return 1;
+        return 2;
+    }
+    void encode(RangeEncoder& rc, int ctx, int sym) {
+        int node = 1;
+        for (int b = SYM_BITS - 1; b >= 0; b--) {
+            int bit = (sym >> b) & 1;
+            rc.encode_bit(tree[ctx][node], bit);
+            node = (node << 1) | bit;
+        }
+    }
+    int decode(RangeDecoder& rc, int ctx) {
+        int node = 1;
+        for (int b = 0; b < SYM_BITS; b++)
+            node = (node << 1) | rc.decode_bit(tree[ctx][node]);
+        return node - (1 << SYM_BITS);
+    }
+};
+
+void mtf_rle_encode(const uint8_t* in, int32_t n,
+                    std::vector<uint8_t>& out) {
+    uint8_t order[256];
+    for (int i = 0; i < 256; i++) order[i] = (uint8_t)i;
+    RangeEncoder rc(out);
+    SymModel model;
+    int ctx = 0;
+    int64_t zrun = 0;
+    auto flush_run = [&]() {
+        // bijective base-2: run r >= 1 emits digits d in {1,2} with
+        // r = sum d_i * 2^i (RUNA=1, RUNB=2)
+        int64_t r = zrun;
+        while (r > 0) {
+            int d = (r & 1) ? 0 : 1;  // odd -> RUNA(1), even -> RUNB(2)
+            model.encode(rc, ctx, d);
+            ctx = 0;
+            r = (r - (d == 0 ? 1 : 2)) >> 1;
+        }
+        zrun = 0;
+    };
+    for (int32_t i = 0; i < n; i++) {
+        uint8_t c = in[i];
+        int j = 0;
+        while (order[j] != c) j++;
+        std::memmove(order + 1, order, j);
+        order[0] = c;
+        if (j == 0) { zrun++; continue; }
+        flush_run();
+        int sym = j + 1;
+        model.encode(rc, ctx, sym);
+        ctx = SymModel::clas(sym);
+    }
+    flush_run();
+    model.encode(rc, ctx, 257);  // EOB
+    rc.flush();
+}
+
+// returns bytes written or -1 on corrupt stream
+int32_t mtf_rle_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                       int32_t cap) {
+    uint8_t order[256];
+    for (int i = 0; i < 256; i++) order[i] = (uint8_t)i;
+    RangeDecoder rc(in, n);
+    SymModel model;
+    int ctx = 0;
+    int32_t w = 0;
+    int64_t zrun = 0, zmult = 1;
+    auto flush_run = [&]() -> bool {
+        for (int64_t k = 0; k < zrun; k++) {
+            if (w >= cap) return false;
+            out[w++] = order[0];
+        }
+        zrun = 0;
+        zmult = 1;
+        return true;
+    };
+    for (;;) {
+        int sym = model.decode(rc, ctx);
+        if (sym == 257) break;
+        if (sym <= 1) {
+            zrun += (sym == 0 ? 1 : 2) * zmult;
+            zmult <<= 1;
+            if (zrun > cap) return -1;
+            ctx = 0;
+            continue;
+        }
+        if (!flush_run()) return -1;
+        int j = sym - 1;
+        if (j > 255) return -1;
+        uint8_t c = order[j];
+        std::memmove(order + 1, order, j);
+        order[0] = c;
+        if (w >= cap) return -1;
+        out[w++] = c;
+        ctx = SymModel::clas(sym);
+    }
+    if (!flush_run()) return -1;
+    return w;
+}
+
+void put_u32(std::vector<uint8_t>& v, uint32_t x) {
+    v.push_back((uint8_t)x);
+    v.push_back((uint8_t)(x >> 8));
+    v.push_back((uint8_t)(x >> 16));
+    v.push_back((uint8_t)(x >> 24));
+}
+
+uint32_t get_u32(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+           ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one block: [u32 primary_index][rc payload].  Returns bytes
+// written or -1 if the output would exceed cap (incompressible).
+int64_t bwt_block_encode(const uint8_t* in, int64_t n, uint8_t* out,
+                         int64_t cap) {
+    if (n <= 0 || n > 0x7FFFFF00) return -1;
+    std::vector<uint8_t> bwt(n);
+    int32_t q = bwt_forward(in, bwt.data(), (int32_t)n);
+    std::vector<uint8_t> payload;
+    payload.reserve(n / 2 + 64);
+    put_u32(payload, (uint32_t)q);
+    mtf_rle_encode(bwt.data(), (int32_t)n, payload);
+    if ((int64_t)payload.size() > cap) return -1;
+    std::memcpy(out, payload.data(), payload.size());
+    return (int64_t)payload.size();
+}
+
+// Decode one block of known uncompressed length u_len.  Returns u_len
+// or -1 on corruption.
+int64_t bwt_block_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                         int64_t u_len) {
+    if (n < 5 || u_len <= 0 || u_len > 0x7FFFFF00) return -1;
+    int32_t q = (int32_t)get_u32(in);
+    if (q < 0 || q > u_len) return -1;
+    std::vector<uint8_t> bwt(u_len);
+    int32_t got = mtf_rle_decode(in + 4, n - 4, bwt.data(),
+                                 (int32_t)u_len);
+    if (got != (int32_t)u_len) return -1;
+    bwt_inverse(bwt.data(), out, (int32_t)u_len, q);
+    return u_len;
+}
+
+}  // extern "C"
