@@ -237,8 +237,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     for path in args.files:
         try:
             if args.info:
+                # encrypted archives need the passphrase to walk the
+                # block headers (reference src/lrzip.c:1085-1102)
+                pw = None
+                if args.encrypt is not None and args.encrypt is not True:
+                    pw = str(args.encrypt).encode()
                 with open(path, "rb") as fd:
-                    info = get_fileinfo(fd)
+                    info = get_fileinfo(fd, passphrase=pw)
+                    if info.magic.enc_code and not info.chunks \
+                            and pw is None and sys.stdin.isatty():
+                        import getpass
+                        pw = getpass.getpass(
+                            "Enter passphrase: ").encode()
+                        fd.seek(0)
+                        info = get_fileinfo(fd, passphrase=pw)
                 print(format_fileinfo(info, path, verbose=args.verbose > 0))
                 continue
             if args.decompress or args.test or args.check:

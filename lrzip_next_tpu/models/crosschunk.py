@@ -135,9 +135,11 @@ def find_cross_matches(full_data: np.ndarray, index: CrossChunkIndex,
         dist = c - s
         if dist > max_dist:
             continue
-        # extend left into unclaimed territory
+        # extend left into unclaimed territory (source index must stay
+        # >= 0: a negative numpy index would silently wrap to the end)
         start = c
-        while start > frontier and start > chunk_base and s > 0 and \
+        while start > frontier and start > chunk_base and \
+                start - 1 - dist >= 0 and \
                 full_data[start - 1] == full_data[start - 1 - dist]:
             start -= 1
         ml = extend_one(full_data, start - dist, start)

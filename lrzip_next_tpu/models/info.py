@@ -69,24 +69,35 @@ class ArchiveInfo:
         return "rzip + lzo/gzip/bzip2/none (see block headers)"
 
 
-def get_fileinfo(fd: BinaryIO) -> ArchiveInfo:
-    """Full structural walk + validation of an archive."""
+def get_fileinfo(fd: BinaryIO,
+                 passphrase: Optional[bytes] = None) -> ArchiveInfo:
+    """Full structural walk + validation of an archive.
+
+    Encrypted archives (reference -e) need ``passphrase`` to decrypt
+    the chunk/block headers (reference decrypt_header, src/util.c:
+    621-639); without it only the magic-level fields are reported.
+    """
     start = fd.tell()
     fd.seek(0, io.SEEK_END)
     total = fd.tell() - start
     fd.seek(start)
     head = fd.read(C.MAGIC_LEN + 64)
     magic = MagicHeader.decode(head)
+    crypto = None
     if magic.enc_code:
-        info = ArchiveInfo(magic=magic, archive_size=total)
-        return info  # encrypted: headers unreadable without passphrase
+        if passphrase is None:
+            info = ArchiveInfo(magic=magic, archive_size=total)
+            return info  # headers unreadable without passphrase
+        from ..crypto import CryptoContext
+        crypto = CryptoContext(passphrase, magic.salt, magic.enc_code,
+                               minor_version=magic.minor_version)
     fd.seek(start + magic.header_len)
     info = ArchiveInfo(magic=magic, archive_size=total)
     while True:
-        hdr = read_chunk_header(fd)
+        hdr = read_chunk_header(fd, encrypted=crypto is not None)
         if hdr is None:
             break
-        reader = ChunkReader(fd, hdr)
+        reader = ChunkReader(fd, hdr, crypto=crypto)
         ci = ChunkInfo(chunk_bytes=hdr.chunk_bytes, size=hdr.size,
                        eof=hdr.eof)
         for streamno in range(C.NUM_STREAMS):
@@ -106,6 +117,10 @@ def get_fileinfo(fd: BinaryIO) -> ArchiveInfo:
         hlen = C.HASH_LEN[magic.hash_code]
         tail = fd.read(hlen)
         if len(tail) == hlen:
+            if crypto is not None:
+                # stored hash is encrypted with salt_pass (reference
+                # src/rzip.c:1214-1217)
+                tail = crypto.decrypt_block(tail, crypto.salt_pass)
             info.stored_hash = tail
     return info
 
@@ -136,7 +151,8 @@ def format_fileinfo(info: ArchiveInfo, filename: str = "",
         lines.append("CRC32 used for integrity testing")
     if m.enc_code:
         lines.append(f"Encrypted: AES{128 if m.enc_code == 1 else 256}")
-        return "\n".join(lines)
+        if not info.chunks:  # walked without a passphrase
+            return "\n".join(lines)
     if m.comment:
         lines.append(f"Comment: {m.comment.decode('utf-8', 'replace')}")
     rzip_u = info.total_u_len

@@ -359,7 +359,7 @@ def decompress_stream(fd: BinaryIO, settings: Optional[Settings] = None
 
 def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
                       cfg: BackendConfig, pool: ThreadPoolExecutor,
-                      history: bytes, cumulative_crc: int,
+                      history: np.ndarray, cumulative_crc: int,
                       crypto=None) -> Tuple[bytes, bool]:
     reader = ChunkReader(fd, hdr, crypto=crypto)
     refs0 = list(reader.blocks(0))
@@ -397,12 +397,10 @@ def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
         except ValueError:
             chunk = runtime.replay_tokens(
                 kinds, lengths, dists, literals, int(lengths.sum()),
-                history=np.frombuffer(history, dtype=np.uint8)
-                if history else None)
+                history=history if len(history) else None)
     if chunk is None:
         chunk = replay_tokens(kinds, lengths, dists, literals,
-                              history=np.frombuffer(history, dtype=np.uint8)
-                              if history else None)
+                              history=history if len(history) else None)
     chunk_bytes = chunk.tobytes()
     crc = zlib.crc32(chunk_bytes) & 0xFFFFFFFF
     crc_ok = stored_crc == stored_crc_int(crc)
@@ -436,7 +434,8 @@ def compress_file(in_path: str, out_path: str,
 def decompress_file(in_path: str, out_path: str,
                     settings: Optional[Settings] = None) -> int:
     settings = settings or Settings()
-    with open(in_path, "rb") as fd, open(out_path, "wb") as out:
+    # w+b: the written file doubles as readable match history (fd_hist)
+    with open(in_path, "rb") as fd, open(out_path, "w+b") as out:
         return decompress_stream_to(fd, out, settings)
 
 
@@ -444,17 +443,47 @@ def decompress_stream_to(fd: BinaryIO, out_fd: BinaryIO,
                          settings: Optional[Settings] = None) -> int:
     """Decompress chunk-by-chunk, writing each chunk as it completes
     (bounded memory; the reference streams through fd_out the same way,
-    src/runzip.c:375-502)."""
+    src/runzip.c:375-502).
+
+    When ``out_fd`` is a real file, cross-chunk match history is read
+    back from the written file via memmap - the fd_hist analog
+    (reference src/runzip.c:184-241) - so RAM use stays bounded by one
+    chunk regardless of archive size.
+    """
     settings = settings or Settings()
+    history_source = None
+    try:
+        out_fd.fileno()
+        usable = out_fd.seekable() and out_fd.readable()
+    except (OSError, AttributeError, io.UnsupportedOperation):
+        usable = False
+    if usable:
+        def history_source() -> np.ndarray:
+            out_fd.flush()
+            size = out_fd.tell()
+            if size == 0:
+                return np.zeros(0, dtype=np.uint8)
+            mm = np.memmap(out_fd, dtype=np.uint8, mode="r",
+                           shape=(size,))
+            out_fd.seek(size)  # memmap construction moves the fd
+            return mm
     total = 0
-    for chunk_bytes in iter_decompress(fd, settings):
+    for chunk_bytes in iter_decompress(fd, settings,
+                                       history_source=history_source):
         out_fd.write(chunk_bytes)
         total += len(chunk_bytes)
     return total
 
 
-def iter_decompress(fd: BinaryIO, settings: Optional[Settings] = None):
-    """Generator over decompressed chunks with integrity verification."""
+def iter_decompress(fd: BinaryIO, settings: Optional[Settings] = None,
+                    history_source=None):
+    """Generator over decompressed chunks with integrity verification.
+
+    ``history_source``: optional zero-arg callable returning the
+    already-written output prefix as a uint8 array (e.g. a memmap of
+    the output file).  Without it, history for cross-chunk matches is
+    accumulated in RAM.
+    """
     settings = settings or Settings()
     head = fd.read(C.MAGIC_LEN + 64)
     if len(head) < C.MAGIC_LEN:
@@ -483,18 +512,23 @@ def iter_decompress(fd: BinaryIO, settings: Optional[Settings] = None):
     cumulative_crc = 0
     # History for cross-chunk match distances (the fd_hist analog,
     # reference src/runzip.c:172-182): multi-chunk archives may reach
-    # into earlier chunks, so prior output is retained.  (File-backed
-    # history for beyond-RAM archives is on the roadmap.)
+    # into earlier chunks.  With a history_source (file-backed decode)
+    # the written output file itself is the history - zero extra RAM;
+    # otherwise prior output accumulates in memory.
     history = bytearray()
     try:
         while True:
             hdr = read_chunk_header(fd, encrypted=crypto is not None)
             if hdr is None:
                 break
+            # RAM path: copy (frombuffer views would pin the bytearray
+            # against resize); file path: zero-copy memmap
+            hist_arr = history_source() if history_source is not None \
+                else np.frombuffer(bytes(history), dtype=np.uint8)
             chunk_bytes, _ = _decompress_chunk(
-                fd, hdr, magic, cfg, pool, bytes(history),
+                fd, hdr, magic, cfg, pool, hist_arr,
                 cumulative_crc, crypto)
-            if not hdr.eof:
+            if not hdr.eof and history_source is None:
                 history += chunk_bytes
             cumulative_crc = zlib.crc32(chunk_bytes, cumulative_crc)
             if hasher is not None:

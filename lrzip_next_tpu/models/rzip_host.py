@@ -82,6 +82,8 @@ def extend_one(data: np.ndarray, src: int, pos: int,
     would-be output.
     """
     n = len(data)
+    if src < 0 or src >= pos:
+        return 0
     ml = start
     block = 4096
     while pos + ml < n:

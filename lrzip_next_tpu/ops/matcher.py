@@ -155,27 +155,27 @@ def anchor_candidates(data: jnp.ndarray, stride: int):
         [jnp.full((h,), _U32_MAX, fwd.dtype), fwd[:-h]])  # [p-h, p]
     is_anchor = fpa == jnp.minimum(fwd, back)
 
-    # one anchor per fixed stride-row: the masked-min fingerprint
+    # one anchor per fixed stride-row: the masked-min fingerprint.
+    # Empty rows get fpa = MAX, which doubles as the invalid marker -
+    # no separate ok array rides through the sorts.
     rows_a = jnp.where(is_anchor, fpa, _U32_MAX)[:ma].reshape(k, stride)
     rows_b = fpb[:ma].reshape(k, stride)
     row_min = jnp.min(rows_a, axis=1)
-    ok_row = row_min != _U32_MAX
     eq = rows_a == row_min[:, None]
     a_fpb = jnp.min(jnp.where(eq, rows_b, _U32_MAX), axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, stride), 1)
     sel = eq & (rows_b == a_fpb[:, None])
     a_pos = (jnp.arange(k, dtype=jnp.int32) * stride
              + jnp.min(jnp.where(sel, col, jnp.int32(stride)), axis=1))
-    a_pos = jnp.where(ok_row, a_pos, _I32_BIG)
+    a_pos = jnp.where(row_min != _U32_MAX, a_pos, _I32_BIG)
 
     # nearest previous equal-fingerprint anchor via one k-sized sort
-    okint = ok_row.astype(jnp.int32)
-    sfpa, sfpb, spos, sok = jax.lax.sort(
-        (row_min, a_fpb, a_pos, okint), num_keys=3)
+    sfpa, sfpb, spos = jax.lax.sort(
+        (row_min, a_fpb, a_pos), num_keys=3)
     same = jnp.concatenate([
         jnp.zeros((1,), bool),
         (sfpa[1:] == sfpa[:-1]) & (sfpb[1:] == sfpb[:-1])
-        & (sok[1:] > 0) & (sok[:-1] > 0)])
+        & (sfpa[1:] != _U32_MAX)])
     prev_pos = jnp.concatenate([jnp.zeros((1,), jnp.int32), spos[:-1]])
     cand_sorted = jnp.where(same, prev_pos, jnp.int32(-1))
     # back to position order (anchors were generated ascending)
@@ -201,25 +201,30 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
 def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
-    """XLA fallback seed compaction (CPU meshes and tests)."""
+    """Seed-chain compaction: one reverse segmented scan propagates
+    each chain's end position to its start; a single-key sort then
+    packs (start_pos, end_pos, cand) triples to the front.  Pure XLA -
+    a sort is ~2x cheaper than the log-shift Pallas compaction at the
+    anchor scale (m/stride elements), and it runs everywhere."""
     start, is_end = _anchor_chain_masks(pos, cand, ok, limit, stride)
-    kk = pos.shape[0]
     n_runs = jnp.sum(start.astype(jnp.int32))
-    si = jnp.nonzero(start, size=cap, fill_value=kk - 1)[0]
-    ei = jnp.nonzero(is_end, size=cap, fill_value=kk - 1)[0]
-    return pos[si], pos[ei], cand[si], n_runs
 
+    # suffix-scan "first end at or after me": end position of my chain
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(af, av, bv), af | bf
 
-@functools.partial(jax.jit, static_argnames=("cap", "stride"))
-def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int):
-    from .compact_pallas import compact_masked_pallas
-    start, is_end = _anchor_chain_masks(pos, cand, ok, limit, stride)
-    return compact_masked_pallas(start, is_end, pos, cand, cap)
+    endpos, _ = jax.lax.associative_scan(
+        op, (jnp.where(is_end, pos, jnp.int32(0)), is_end),
+        reverse=True)
+
+    key = jnp.where(start, pos, _I32_BIG)
+    skey, sends, scand = jax.lax.sort((key, endpos, cand), num_keys=1)
+    return skey[:cap], sends[:cap], scand[:cap], n_runs
 
 
 def _seed_compact_impl():
-    if jax.devices()[0].platform != "cpu":
-        return compact_seeds_pallas
     return compact_seeds
 
 

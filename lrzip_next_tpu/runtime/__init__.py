@@ -59,7 +59,7 @@ def _load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_void_p, u8p, i64p, i64p]
         lib.replay_tokens.restype = i64
         lib.replay_tokens.argtypes = [u8p, i64p, i64p, i64, u8p, i64,
-                                      u8p, i64, i64]
+                                      u8p, i64, u8p, i64]
         lib.lzo1x_encode.restype = i64
         lib.lzo1x_encode.argtypes = [u8p, i64, u8p, i64, i32p]
         lib.lzo1x_decode.restype = i64
@@ -124,23 +124,27 @@ def replay_tokens(kinds: np.ndarray, lens: np.ndarray, dists: np.ndarray,
                   literals: np.ndarray, out_len: int,
                   history: Optional[np.ndarray] = None
                   ) -> Optional[np.ndarray]:
+    """Native token replay.  ``history`` is a separate read-only prefix
+    buffer (fd_hist analog) - pass a memmap of the written output file
+    for zero-copy multi-chunk decode."""
     lib = _load()
     if lib is None:
         return None
-    hist_len = 0 if history is None else len(history)
-    buf = np.empty(hist_len + out_len, dtype=np.uint8)
-    if hist_len:
-        buf[:hist_len] = history
+    if history is None:
+        history = np.zeros(0, dtype=np.uint8)
+    history = np.ascontiguousarray(history, dtype=np.uint8)
+    buf = np.empty(max(out_len, 1), dtype=np.uint8)
     kinds = np.ascontiguousarray(kinds, dtype=np.uint8)
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     dists = np.ascontiguousarray(dists, dtype=np.int64)
     literals = np.ascontiguousarray(literals, dtype=np.uint8)
     ret = lib.replay_tokens(_u8p(kinds), _i64p(lens), _i64p(dists),
                             len(kinds), _u8p(literals), len(literals),
-                            _u8p(buf), len(buf), hist_len)
+                            _u8p(history), len(history),
+                            _u8p(buf), out_len)
     if ret < 0:
         raise ValueError("corrupt rzip token stream (native replay)")
-    return buf[hist_len:hist_len + ret]
+    return buf[:ret]
 
 
 def lzo1x_encode(data: bytes) -> Optional[bytes]:

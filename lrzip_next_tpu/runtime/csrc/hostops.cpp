@@ -121,12 +121,17 @@ int64_t parse_token_stream(const uint8_t* s, int64_t n, int64_t chunk_bytes,
 // Sequential rzip token replay with full history semantics
 // (reference src/runzip.c:184-241): matches copy from the already
 // written output, overlap-safe. Returns bytes written or -1 on error.
+//
+// History is a *separate* read-only buffer (the fd_hist analog): the
+// caller passes the already-written output prefix - typically a memmap
+// of the output file, so multi-chunk decode never copies or even
+// pages-in history it does not touch.
 int64_t replay_tokens(const uint8_t* kinds, const int64_t* lens,
                       const int64_t* dists, int64_t n_tokens,
                       const uint8_t* literals, int64_t n_literals,
-                      uint8_t* out, int64_t out_cap, int64_t hist_len) {
-    // out buffer layout: [0, hist_len) pre-filled history, output follows.
-    int64_t op = hist_len;
+                      const uint8_t* hist, int64_t hist_len,
+                      uint8_t* out, int64_t out_cap) {
+    int64_t op = 0;
     int64_t lp = 0;
     for (int64_t i = 0; i < n_tokens; i++) {
         int64_t len = lens[i];
@@ -138,18 +143,26 @@ int64_t replay_tokens(const uint8_t* kinds, const int64_t* lens,
             op += len;
         } else {
             int64_t dist = dists[i];
-            if (dist < 1 || dist > op) return -1;
-            const uint8_t* src = out + op - dist;
-            if (dist >= len) {
-                std::memcpy(out + op, src, (size_t)len);
-                op += len;
-            } else {
-                for (int64_t k = 0; k < len; k++) out[op + k] = src[k];
-                op += len;
+            if (dist < 1 || dist > op + hist_len) return -1;
+            int64_t src = op - dist;  // may land in history (< 0)
+            if (src < 0) {
+                int64_t h = -src < len ? -src : len;
+                std::memcpy(out + op, hist + hist_len + src, (size_t)h);
+                op += h;
+                len -= h;
+                src = 0;  // continuation reads from out start
+            }
+            while (len > 0) {  // overlap-safe within out
+                int64_t c = op - src;
+                if (c > len) c = len;
+                std::memcpy(out + op, out + src, (size_t)c);
+                op += c;
+                src += c;
+                len -= c;
             }
         }
     }
-    return op - hist_len;
+    return op;
 }
 
 // ----------------------------------------------------------------- lzo

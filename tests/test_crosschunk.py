@@ -94,3 +94,21 @@ def test_unlimited_enables_cross_chunk():
                                             lz4_test=False))
     assert len(archive) < len(plain) * 0.6
     assert lrz.decompress(archive) == data
+
+
+def test_cross_match_source_at_zero(tmp_path):
+    # regression: a cross-chunk match whose source starts at byte 0 -
+    # left extension must not walk the source index negative (numpy
+    # negative indices silently wrap to the end of the array)
+    import numpy as np
+    from lrzip_next_tpu.models import pipeline
+    rng = np.random.default_rng(11)
+    seg = rng.integers(0, 256, 150_000, dtype=np.uint8).tobytes()
+    data = seg + seg  # second copy's source is position 0
+    s = pipeline.Settings(method="zstd", max_chunk=100_000,
+                          cross_chunk=True, threads=2)
+    src = tmp_path / "a.bin"; src.write_bytes(data)
+    arch = tmp_path / "a.lrz"; out = tmp_path / "a.out"
+    pipeline.compress_file(str(src), str(arch), s)
+    pipeline.decompress_file(str(arch), str(out))
+    assert out.read_bytes() == data

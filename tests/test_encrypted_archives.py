@@ -59,3 +59,34 @@ def test_encrypted_multi_chunk(corpus_factory):
     s = settings(max_chunk=100_000)
     archive = lrz.compress(data, s)
     assert lrz.decompress(archive, s) == data
+
+
+def test_info_with_passphrase(corpus_factory):
+    import io
+    import lrzip_next_tpu as lrz
+    from lrzip_next_tpu.models.info import format_fileinfo, get_fileinfo
+    data = corpus_factory(60_000, "text")
+    s = lrz.Settings(method="zstd", passphrase=b"sekrit",
+                     costfactor_exp=10)
+    archive = lrz.compress(data, s)
+    # without passphrase: magic-level info only
+    info = get_fileinfo(io.BytesIO(archive))
+    assert info.magic.enc_code and not info.chunks
+    assert "Encrypted" in format_fileinfo(info, "x")
+    # with passphrase: full block walk
+    info = get_fileinfo(io.BytesIO(archive), passphrase=b"sekrit")
+    assert info.chunks and info.chunks[0].streams[1].blocks >= 1
+    out = format_fileinfo(info, "x")
+    assert "Stream 1" in out and "Encrypted" in out
+
+
+def test_info_wrong_passphrase_fails(corpus_factory):
+    import io
+    import pytest
+    import lrzip_next_tpu as lrz
+    from lrzip_next_tpu.models.info import get_fileinfo
+    data = corpus_factory(40_000, "text")
+    archive = lrz.compress(data, lrz.Settings(
+        method="zstd", passphrase=b"right", costfactor_exp=10))
+    with pytest.raises(ValueError):
+        get_fileinfo(io.BytesIO(archive), passphrase=b"wrong")

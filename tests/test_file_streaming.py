@@ -52,3 +52,23 @@ def test_streaming_detects_corruption(tmp_path, corpus_factory):
     with pytest.raises(ValueError):
         for _ in pipeline.iter_decompress(io.BytesIO(bytes(archive))):
             pass
+
+
+def test_file_backed_history_cross_chunk(tmp_path, corpus_factory):
+    # multi-chunk archive with cross-chunk matches: decode-to-file must
+    # replay long-distance matches from the written file itself (the
+    # fd_hist analog) and accumulate no RAM history
+    import numpy as np
+    seg = np.frombuffer(corpus_factory(120_000, "text"), dtype=np.uint8)
+    data = np.concatenate([seg, np.frombuffer(
+        corpus_factory(100_000, "mixed"), dtype=np.uint8), seg]).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    arch = tmp_path / "in.bin.lrz"
+    out = tmp_path / "out.bin"
+    s = pipeline.Settings(method="zstd", max_chunk=90_000, cross_chunk=True,
+                     threads=2)
+    pipeline.compress_file(str(src), str(arch), s)
+    n = pipeline.decompress_file(str(arch), str(out))
+    assert n == len(data)
+    assert out.read_bytes() == data
