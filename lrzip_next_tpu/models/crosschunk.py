@@ -15,9 +15,15 @@ bounded by the chunk byte width.  This module exploits that:
    extended bidirectionally against the memmapped input, then spliced
    into literal spans of the in-chunk tokenisation.
 
-Result: -U-scale dedup with memory bounded by the sampled index, and
-archives any conforming decoder (the reference included) replays
-correctly.
+Result: -U-scale dedup with memory bounded by the sampled index.
+
+**Compatibility**: these archives are an extension.  A decoder honoring
+the fd_hist replay rules handles them (ours does, including file-backed
+history), but the reference *binary* cannot: it always decodes through
+a RAM tmpoutbuf flushed after every chunk (src/runzip.c:401-403,
+src/lrzip.c:1701-1703), so earlier chunks are unreachable there.
+Proven both ways in tests/test_reference_binary_interop.py; leave
+cross_chunk off (the default) for reference-portable archives.
 """
 
 from __future__ import annotations

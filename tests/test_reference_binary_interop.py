@@ -1,0 +1,171 @@
+"""End-to-end interop against the actual lrzip-next reference binary.
+
+tests/oracle/build_oracle.sh compiles the reference (read-only at
+/root/reference) with shimmed deps into a real `lrzip-next` executable;
+these tests cross-decode archives in BOTH directions for every shared
+method, plus filters, multi-chunk windows, and hash options.  This is
+the strongest parity evidence available in this environment: the
+reference's own rzip/stream/backend code accepts our bytes and vice
+versa.
+"""
+
+import hashlib
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+import lrzip_next_tpu as lrz
+
+ORACLE_DIR = "/tmp/lrz_oracle_bin"
+ORACLE = os.path.join(ORACLE_DIR, "lrzip-next")
+BUILD = os.path.join(os.path.dirname(__file__), "oracle",
+                     "build_oracle.sh")
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    if not os.path.isdir("/root/reference/src"):
+        pytest.skip("reference tree not present")
+    if not os.path.exists(ORACLE) or \
+            os.path.getmtime(ORACLE) < os.path.getmtime(BUILD):
+        r = subprocess.run(["bash", BUILD, ORACLE_DIR],
+                           capture_output=True, text=True, timeout=600)
+        if r.returncode != 0:
+            pytest.skip(f"oracle build failed: {r.stderr[-400:]}")
+    return ORACLE
+
+
+@pytest.fixture(scope="session")
+def corpus_bytes():
+    import pathlib
+    srcs = [p.read_bytes() for p in
+            sorted(pathlib.Path("/root/reference/src").glob("*.c"))]
+    return b"".join(srcs)
+
+
+def ref_compress(oracle, data: bytes, tmp, flags) -> bytes:
+    src = tmp / "in.bin"
+    src.write_bytes(data)
+    arch = tmp / "in.lrz"
+    r = subprocess.run([oracle, "-f", "-Q", *flags, "-o", str(arch),
+                        str(src)], capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-400:]
+    return arch.read_bytes()
+
+
+def ref_decompress(oracle, archive: bytes, tmp) -> bytes:
+    arch = tmp / "out.lrz"
+    arch.write_bytes(archive)
+    dec = tmp / "out.bin"
+    r = subprocess.run([oracle, "-d", "-f", "-Q", "-o", str(dec),
+                        str(arch)], capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-400:]
+    return dec.read_bytes()
+
+
+METHODS = [("lzma", []), ("gzip", ["-g"]), ("bzip2", ["-b"]),
+           ("zstd", ["-Z"]), ("lzo", ["-l"]), ("none", ["-n"]),
+           ("zpaq", ["-z"])]
+
+
+@pytest.mark.parametrize("method,flags", METHODS)
+def test_cross_decode_both_directions(oracle, corpus_bytes, tmp_path,
+                                      method, flags):
+    data = corpus_bytes
+    theirs = ref_compress(oracle, data, tmp_path, flags)
+    assert lrz.decompress(theirs) == data
+    ours = lrz.compress(data, lrz.Settings(method=method))
+    assert ref_decompress(oracle, ours, tmp_path) == data
+
+
+def test_ref_decodes_our_multichunk(oracle, corpus_bytes, tmp_path):
+    data = corpus_bytes * 2
+    ours = lrz.compress(data, lrz.Settings(method="zstd",
+                                           max_chunk=100_000))
+    assert ref_decompress(oracle, ours, tmp_path) == data
+
+
+def test_cross_chunk_is_our_extension_not_ref_decodable(
+        oracle, corpus_bytes, tmp_path):
+    # Cross-chunk distances are valid under the fd_hist replay rules
+    # (src/runzip.c:184-241) but the reference binary ALWAYS decodes
+    # through its RAM tmpoutbuf and flushes it after every chunk
+    # (src/runzip.c:401-403, src/lrzip.c:1701-1703), making earlier
+    # chunks unreachable - so cross-chunk archives are an extension
+    # only this framework decodes.  Pin both sides of that boundary.
+    data = corpus_bytes + bytes(50_000) + corpus_bytes
+    ours = lrz.compress(data, lrz.Settings(method="zstd",
+                                           max_chunk=150_000,
+                                           cross_chunk=True))
+    assert lrz.decompress(ours) == data  # we decode our extension
+    arch = tmp_path / "x.lrz"
+    arch.write_bytes(ours)
+    r = subprocess.run([oracle, "-d", "-f", "-Q", "-o",
+                        str(tmp_path / "x.bin"), str(arch)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode != 0  # reference rejects (documented limit)
+    # without cross_chunk the same input stays fully ref-compatible
+    plain = lrz.compress(data, lrz.Settings(method="zstd",
+                                            max_chunk=150_000))
+    assert ref_decompress(oracle, plain, tmp_path) == data
+
+
+def test_we_decode_ref_multichunk(oracle, corpus_bytes, tmp_path):
+    # -w1 caps the window at 100MB; use a big repeated corpus but keep
+    # runtime sane: 2MB with max window forced tiny via -w is not
+    # possible below 100MB, so rely on ref default single chunk + our
+    # decode of a larger input instead
+    data = corpus_bytes * 8
+    theirs = ref_compress(oracle, data, tmp_path, ["-Z"])
+    assert lrz.decompress(theirs) == data
+
+
+@pytest.mark.parametrize("hflag,hname", [("2", "SHA256"),
+                                         ("5", "SHA512")])
+def test_hash_options_interop(oracle, corpus_bytes, tmp_path, hflag,
+                              hname):
+    data = corpus_bytes[:150_000]
+    theirs = ref_compress(oracle, data, tmp_path, ["-Z", "--hash=" + hflag])
+    assert lrz.decompress(theirs) == data
+
+
+def test_filter_interop_x86(oracle, tmp_path):
+    # BCJ x86 filter over real machine code (the oracle binary itself)
+    data = open(ORACLE, "rb").read()[:300_000]
+    theirs = ref_compress(oracle, data, tmp_path, ["-Z", "--x86"])
+    assert lrz.decompress(theirs) == data
+    from lrzip_next_tpu.format.constants import FILTER_X86
+    ours = lrz.compress(data, lrz.Settings(method="zstd",
+                                           filter_flag=FILTER_X86))
+    assert ref_decompress(oracle, ours, tmp_path) == data
+
+
+def test_delta_filter_interop(oracle, tmp_path):
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 25, 200_000, dtype=np.uint8)
+    data = np.cumsum(base, dtype=np.uint8).tobytes()  # delta-friendly
+    theirs = ref_compress(oracle, data, tmp_path,
+                          ["-Z", "--delta=1"])
+    assert lrz.decompress(theirs) == data
+    from lrzip_next_tpu.format.constants import FILTER_DELTA
+    ours = lrz.compress(data, lrz.Settings(method="zstd",
+                                           filter_flag=FILTER_DELTA,
+                                           delta_offset=1))
+    assert ref_decompress(oracle, ours, tmp_path) == data
+
+
+def test_ref_testmode_accepts_ours(oracle, corpus_bytes, tmp_path):
+    # reference -t = full decompress + stored-hash verify, discarded
+    ours = lrz.compress(corpus_bytes, lrz.Settings(method="lzma"))
+    arch = tmp_path / "t.lrz"
+    arch.write_bytes(ours)
+    r = subprocess.run([oracle, "-t", "-Q", str(arch)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-400:]
