@@ -357,25 +357,54 @@ def decompress_stream(fd: BinaryIO, settings: Optional[Settings] = None
     return b"".join(iter_decompress(fd, settings))
 
 
+class _ChunkDecodeJob:
+    """Stage A of chunk decode: payload IO + block-parallel backend
+    decompression, submitted to the pool so it overlaps the previous
+    chunk's replay (the reference's read-ahead pool P3,
+    src/stream.c:2022-2195, at chunk granularity)."""
+
+    def __init__(self, fd: BinaryIO, hdr, magic: MagicHeader,
+                 cfg: BackendConfig, pool: ThreadPoolExecutor,
+                 crypto=None):
+        self.hdr = hdr
+        reader = ChunkReader(fd, hdr, crypto=crypto)
+        refs0 = list(reader.blocks(0))
+        refs1 = list(reader.blocks(1))
+        payloads = {id(r): reader.read_payload(r) for r in refs0 + refs1}
+        self.end_offset = reader.end_offset()
+        self.n0 = len(refs0)
+
+        def decomp(ref):
+            raw = decompress_block(payloads[id(ref)], ref.c_type,
+                                   ref.u_len, cfg)
+            if ref.streamno == 1 and magic.filter_flag:
+                raw = undo_filter(raw, magic.filter_flag,
+                                  magic.delta_offset,
+                                  magic.minor_version)
+            return raw
+
+        self.futures = [pool.submit(decomp, r) for r in refs0 + refs1]
+
+    def streams(self) -> Tuple[bytes, bytes]:
+        results = [f.result() for f in self.futures]
+        return (b"".join(results[:self.n0]),
+                b"".join(results[self.n0:]))
+
+
 def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
                       cfg: BackendConfig, pool: ThreadPoolExecutor,
                       history: np.ndarray, cumulative_crc: int,
                       crypto=None) -> Tuple[bytes, bool]:
-    reader = ChunkReader(fd, hdr, crypto=crypto)
-    refs0 = list(reader.blocks(0))
-    refs1 = list(reader.blocks(1))
-    payloads = {id(r): reader.read_payload(r) for r in refs0 + refs1}
+    job = _ChunkDecodeJob(fd, hdr, magic, cfg, pool, crypto)
+    fd.seek(job.end_offset)
+    return _finish_chunk_decode(job, fd, hdr, cfg, history,
+                                cumulative_crc)
 
-    def decomp(ref):
-        raw = decompress_block(payloads[id(ref)], ref.c_type, ref.u_len, cfg)
-        if ref.streamno == 1 and magic.filter_flag:
-            raw = undo_filter(raw, magic.filter_flag, magic.delta_offset,
-                              magic.minor_version)
-        return raw
 
-    results = list(pool.map(decomp, refs0 + refs1))
-    stream0 = b"".join(results[:len(refs0)])
-    stream1 = b"".join(results[len(refs0):])
+def _finish_chunk_decode(job: "_ChunkDecodeJob", fd: BinaryIO, hdr,
+                         cfg: BackendConfig, history: np.ndarray,
+                         cumulative_crc: int) -> Tuple[bytes, bool]:
+    stream0, stream1 = job.streams()
 
     from .. import runtime
     s0 = np.frombuffer(stream0, dtype=np.uint8)
@@ -412,8 +441,6 @@ def _decompress_chunk(fd: BinaryIO, hdr, magic: MagicHeader,
             raise ValueError(
                 f"chunk CRC mismatch: stored 0x{stored_crc:08x}")
         crc_ok = True
-    # position fd at chunk end for the next chunk header
-    fd.seek(reader.end_offset())
     return chunk_bytes, crc_ok
 
 
@@ -516,27 +543,41 @@ def iter_decompress(fd: BinaryIO, settings: Optional[Settings] = None,
     # the written output file itself is the history - zero extra RAM;
     # otherwise prior output accumulates in memory.
     history = bytearray()
+
+    def finish(job):
+        nonlocal cumulative_crc, out_total, history
+        # RAM path: copy (frombuffer views would pin the bytearray
+        # against resize); file path: zero-copy memmap
+        hist_arr = history_source() if history_source is not None \
+            else np.frombuffer(bytes(history), dtype=np.uint8)
+        chunk_bytes, _ = _finish_chunk_decode(
+            job, fd, job.hdr, cfg, hist_arr, cumulative_crc)
+        if not job.hdr.eof and history_source is None:
+            history += chunk_bytes
+        cumulative_crc = zlib.crc32(chunk_bytes, cumulative_crc)
+        if hasher is not None:
+            hasher.update(chunk_bytes)
+        out_total += len(chunk_bytes)
+        return chunk_bytes
+
+    # one-chunk lookahead: chunk k+1's payload IO + backend decode run
+    # in the pool while chunk k replays (reference P3 read-ahead parity
+    # at chunk granularity, src/stream.c:2022-2195)
+    prev = None
     try:
         while True:
             hdr = read_chunk_header(fd, encrypted=crypto is not None)
             if hdr is None:
                 break
-            # RAM path: copy (frombuffer views would pin the bytearray
-            # against resize); file path: zero-copy memmap
-            hist_arr = history_source() if history_source is not None \
-                else np.frombuffer(bytes(history), dtype=np.uint8)
-            chunk_bytes, _ = _decompress_chunk(
-                fd, hdr, magic, cfg, pool, hist_arr,
-                cumulative_crc, crypto)
-            if not hdr.eof and history_source is None:
-                history += chunk_bytes
-            cumulative_crc = zlib.crc32(chunk_bytes, cumulative_crc)
-            if hasher is not None:
-                hasher.update(chunk_bytes)
-            out_total += len(chunk_bytes)
-            yield chunk_bytes
+            job = _ChunkDecodeJob(fd, hdr, magic, cfg, pool, crypto)
+            fd.seek(job.end_offset)
+            if prev is not None:
+                yield finish(prev)
+            prev = job
             if hdr.eof:
                 break
+        if prev is not None:
+            yield finish(prev)
     finally:
         pool.shutdown()
     if magic.eof_known and magic.expected_size and \
