@@ -69,7 +69,13 @@ def stretch(salt: bytes, passphrase: bytes,
 
 def block_key_iv(master: bytes, block_salt: bytes, salt_pass: bytes,
                  enc_code: int) -> Tuple[bytes, bytes]:
-    """Per-block AES key + IV via SHAKE XOF."""
+    """Per-block AES key + IV via SHAKE XOF.
+
+    Only SALT_LEN=8 bytes of the block salt enter the hash (reference
+    lrz_keygen, src/util.c:486-503) - significant for the stored-hash
+    slot, whose "salt" is the whole salt_pass (src/rzip.c:1211).
+    """
+    block_salt = block_salt[:8]
     keylen = 16 if enc_code == 1 else 32
     shake = hashlib.shake_128 if enc_code == 1 else hashlib.shake_256
     key = shake(master + block_salt + salt_pass).digest(keylen)

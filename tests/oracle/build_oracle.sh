@@ -20,8 +20,9 @@ mkdir -p "$OUT"
 rm -rf "$OUT/src"
 cp -r "$REF/src" "$OUT/src"
 chmod -R u+w "$OUT/src"
+rm -rf "$OUT/shim"
 cp -r "$HERE/shim" "$OUT/shim"
-cp "$HERE/config.h" "$OUT/config.h"
+cp -f "$HERE/config.h" "$OUT/config.h"
 cd "$OUT"
 
 CFLAGS="-O2 -w -DHAVE_CONFIG_H -I. -Ishim -Isrc/include -Isrc/lzma/include -pthread"

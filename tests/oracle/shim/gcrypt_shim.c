@@ -150,32 +150,143 @@ void gcry_create_nonce(void *buffer, size_t length) {
     }
 }
 
-/* ---- cipher / KDF: not needed by the oracle (no -e tests) ---- */
-struct shim_cipher_handle { int dummy; };
+/* ---- cipher: AES-CBC with ciphertext stealing --------------------
+ * Same CTS scheme as lrzip_next_tpu/crypto/aes.py (Kerberos-style:
+ * always steal when len > one block, last two ciphertext blocks
+ * swapped, final truncated).  Primitive-level equivalence with real
+ * libgcrypt cannot be checked on this system; what the oracle proves
+ * is that the reference's container-level encryption plumbing
+ * (lrz_keygen layout, header/block salting, rewrite_encrypted) interops
+ * with ours. */
+typedef struct evp_cipher_ctx_st EVP_CIPHER_CTX;
+typedef struct evp_cipher_st EVP_CIPHER;
+extern EVP_CIPHER_CTX *EVP_CIPHER_CTX_new(void);
+extern void EVP_CIPHER_CTX_free(EVP_CIPHER_CTX *);
+extern const EVP_CIPHER *EVP_aes_128_cbc(void);
+extern const EVP_CIPHER *EVP_aes_256_cbc(void);
+extern const EVP_CIPHER *EVP_aes_128_ecb(void);
+extern const EVP_CIPHER *EVP_aes_256_ecb(void);
+extern int EVP_CipherInit_ex(EVP_CIPHER_CTX *, const EVP_CIPHER *,
+                             void *, const unsigned char *,
+                             const unsigned char *, int);
+extern int EVP_CipherUpdate(EVP_CIPHER_CTX *, unsigned char *, int *,
+                            const unsigned char *, int);
+extern int EVP_CIPHER_CTX_set_padding(EVP_CIPHER_CTX *, int);
+extern int EVP_PBE_scrypt(const char *pass, size_t passlen,
+                          const unsigned char *salt, size_t saltlen,
+                          unsigned long long N, unsigned long long r,
+                          unsigned long long p,
+                          unsigned long long maxmem,
+                          unsigned char *key, size_t keylen);
+
+struct shim_cipher_handle {
+    int keylen;
+    unsigned char key[32];
+    unsigned char iv[16];
+};
+
+static int evp_once(const unsigned char *key, int keylen,
+                    const unsigned char *iv, int cbc,
+                    const unsigned char *in, unsigned char *out,
+                    size_t len, int enc) {
+    const EVP_CIPHER *c = cbc
+        ? (keylen == 16 ? EVP_aes_128_cbc() : EVP_aes_256_cbc())
+        : (keylen == 16 ? EVP_aes_128_ecb() : EVP_aes_256_ecb());
+    EVP_CIPHER_CTX *ctx = EVP_CIPHER_CTX_new();
+    int outl = 0, ok;
+    if (!ctx) return 0;
+    ok = EVP_CipherInit_ex(ctx, c, 0, key, iv, enc);
+    if (ok) EVP_CIPHER_CTX_set_padding(ctx, 0);
+    if (ok) ok = EVP_CipherUpdate(ctx, out, &outl, in, (int)len);
+    EVP_CIPHER_CTX_free(ctx);
+    return ok && (size_t)outl == len;
+}
 
 gcry_error_t gcry_cipher_open(gcry_cipher_hd_t *h, int algo, int mode,
                               unsigned int flags) {
-    (void)h; (void)algo; (void)mode; (void)flags;
-    return 1;
+    (void)mode; (void)flags;
+    struct shim_cipher_handle *c = calloc(1, sizeof *c);
+    if (!c) return 1;
+    c->keylen = (algo == GCRY_CIPHER_AES128) ? 16 : 32;
+    *h = c;
+    return 0;
 }
-void gcry_cipher_close(gcry_cipher_hd_t h) { (void)h; }
+void gcry_cipher_close(gcry_cipher_hd_t h) { free(h); }
 gcry_error_t gcry_cipher_setkey(gcry_cipher_hd_t h, const void *k,
-                                size_t l) { (void)h; (void)k; (void)l;
-    return 1; }
+                                size_t l) {
+    if (!h || (int)l != h->keylen) return 1;
+    memcpy(h->key, k, l);
+    return 0;
+}
 gcry_error_t gcry_cipher_setiv(gcry_cipher_hd_t h, const void *iv,
-                               size_t l) { (void)h; (void)iv; (void)l;
-    return 1; }
+                               size_t l) {
+    if (!h || l != 16) return 1;
+    memcpy(h->iv, iv, l);
+    return 0;
+}
+
+static gcry_error_t cts_crypt(gcry_cipher_hd_t h, unsigned char *buf,
+                              size_t len, int enc) {
+    if (len < 16) return 1;
+    if (len == 16)
+        return evp_once(h->key, h->keylen, h->iv, 1, buf, buf, 16, enc)
+            ? 0 : 1;
+    size_t rest = len % 16 ? len % 16 : 16;
+    size_t lead = (len - rest) / 16;  /* >= 1 leading full blocks */
+    unsigned char tmp[16], cn[16], cn_1[16], dn[16];
+    if (enc) {
+        if (!evp_once(h->key, h->keylen, h->iv, 1, buf, buf,
+                      lead * 16, 1))
+            return 1;
+        memcpy(cn_1, buf + lead * 16 - 16, 16);
+        memset(tmp, 0, 16);
+        memcpy(tmp, buf + lead * 16, rest);  /* Pn padded */
+        for (int i = 0; i < 16; i++) tmp[i] ^= cn_1[i];
+        if (!evp_once(h->key, h->keylen, 0, 0, tmp, cn, 16, 1))
+            return 1;
+        memcpy(buf + lead * 16 - 16, cn, 16);  /* Cn replaces Cn-1 */
+        memcpy(buf + lead * 16, cn_1, rest);   /* truncated Cn-1 last */
+        return 0;
+    }
+    /* decrypt: reconstruct the stolen block, then one CBC pass */
+    memcpy(cn, buf + lead * 16 - 16, 16);
+    if (!evp_once(h->key, h->keylen, 0, 0, cn, dn, 16, 0))
+        return 1;
+    unsigned char tail[16];
+    memcpy(tail, buf + lead * 16, rest);       /* truncated Cn-1 */
+    memcpy(cn_1, tail, rest);
+    memcpy(cn_1 + rest, dn + rest, 16 - rest);
+    memcpy(buf + lead * 16 - 16, cn_1, 16);    /* restore chain */
+    if (!evp_once(h->key, h->keylen, h->iv, 1, buf, buf,
+                  lead * 16, 0))
+        return 1;
+    for (size_t i = 0; i < rest; i++)
+        buf[lead * 16 + i] = dn[i] ^ tail[i];  /* Pn */
+    return 0;
+}
+
 gcry_error_t gcry_cipher_encrypt(gcry_cipher_hd_t h, void *o, size_t os,
                                  const void *i, size_t il) {
-    (void)h; (void)o; (void)os; (void)i; (void)il; return 1; }
+    if (i != 0 || il != 0) return 1;  /* in-place only, as lrzip uses */
+    return cts_crypt(h, (unsigned char *)o, os, 1);
+}
 gcry_error_t gcry_cipher_decrypt(gcry_cipher_hd_t h, void *o, size_t os,
                                  const void *i, size_t il) {
-    (void)h; (void)o; (void)os; (void)i; (void)il; return 1; }
+    if (i != 0 || il != 0) return 1;
+    return cts_crypt(h, (unsigned char *)o, os, 0);
+}
+
+/* gcrypt scrypt: subalgo = N (cost), iterations = p, r fixed at 8 */
 gcry_error_t gcry_kdf_derive(const void *p, size_t pl, int a, int sa,
                              const void *s, size_t sl, unsigned long it,
                              size_t ks, void *kb) {
-    (void)p; (void)pl; (void)a; (void)sa; (void)s; (void)sl; (void)it;
-    (void)ks; (void)kb; return 1;
+    if (a != GCRY_KDF_SCRYPT) return 1;
+    unsigned long long maxmem = (unsigned long long)1 << 31;
+    return EVP_PBE_scrypt((const char *)p, pl,
+                          (const unsigned char *)s, sl,
+                          (unsigned long long)sa, 8,
+                          (unsigned long long)it, maxmem,
+                          (unsigned char *)kb, ks) ? 0 : 1;
 }
 int gpg_strerror_r(gpg_err_code_t code, char *buf, size_t buflen) {
     (void)code;

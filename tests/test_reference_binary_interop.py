@@ -31,8 +31,11 @@ def oracle():
         pytest.skip("no g++")
     if not os.path.isdir("/root/reference/src"):
         pytest.skip("reference tree not present")
+    src_mtime = max(os.path.getmtime(os.path.join(root, f))
+                    for root, _, files in os.walk(os.path.dirname(BUILD))
+                    for f in files)
     if not os.path.exists(ORACLE) or \
-            os.path.getmtime(ORACLE) < os.path.getmtime(BUILD):
+            os.path.getmtime(ORACLE) < src_mtime:
         r = subprocess.run(["bash", BUILD, ORACLE_DIR],
                            capture_output=True, text=True, timeout=600)
         if r.returncode != 0:
@@ -169,3 +172,33 @@ def test_ref_testmode_accepts_ours(oracle, corpus_bytes, tmp_path):
     r = subprocess.run([oracle, "-t", "-Q", str(arch)],
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-400:]
+
+
+@pytest.mark.parametrize("ecode,eflag", [(1, "1"), (2, "2")])
+def test_encrypted_interop_both_directions(oracle, corpus_bytes,
+                                           tmp_path, ecode, eflag):
+    # The oracle's gcrypt shim implements scrypt + AES-CBC-CTS via
+    # libcrypto, so the reference's real encryption plumbing
+    # (lrz_keygen/lrz_crypt/rewrite_encrypted) runs end to end.  This
+    # caught a real divergence: only 8 bytes of the block salt enter
+    # keygen (src/util.c:486-503), which matters for the stored hash.
+    data = corpus_bytes[:150_000]
+    theirs = ref_compress(oracle, data, tmp_path,
+                          ["-Z", f"-E{eflag}", "--encrypt=pw1",
+                           "--costfactor", "12"])
+    import io
+    from lrzip_next_tpu.models import pipeline
+    out = b"".join(pipeline.iter_decompress(
+        io.BytesIO(theirs), pipeline.Settings(passphrase=b"pw1")))
+    assert out == data
+    ours = lrz.compress(data, lrz.Settings(
+        method="zstd", passphrase=b"pw1", enc_code=ecode,
+        costfactor_exp=12))
+    arch = tmp_path / "e.lrz"
+    arch.write_bytes(ours)
+    dec = tmp_path / "e.bin"
+    r = subprocess.run([oracle, "-d", "-f", "-Q", "--encrypt=pw1",
+                        "-o", str(dec), str(arch)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-400:]
+    assert dec.read_bytes() == data
