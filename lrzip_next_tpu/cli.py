@@ -188,6 +188,17 @@ def settings_from_args(args) -> pipeline.Settings:
         s.use_tpu = args.tpu
     else:
         s.use_tpu = _tpu_present()
+    if args.verbose >= 2:
+        # matcher counters per chunk (reference prints st->stats at
+        # max verbosity, src/rzip.c:1238-1246)
+        def _stats(st):
+            print(f"Chunk {st.get('chunk', 0)}: "
+                  f"matches {st['matches']:,} "
+                  f"({st['match_bytes']:,} bytes), "
+                  f"literals {st['literals']:,} "
+                  f"({st['literal_bytes']:,} bytes), "
+                  f"chains {st['chains']:,}", file=sys.stderr)
+        s.stats_sink = _stats
     if "lz4test" in conf:
         s.lz4_test = str(conf["lz4test"]).lower() != "no"
     if "threshold" in conf and args.threshold is None:

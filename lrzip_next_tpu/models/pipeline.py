@@ -56,6 +56,9 @@ class Settings:
     progress: Optional[Callable[[str, int, int], None]] = None
     # progress(stage, done_bytes, total_bytes); stage in
     # {"rzip", "backend", "write", "decompress"}
+    stats_sink: Optional[Callable[[dict], None]] = None
+    # per-chunk matcher counters at max verbosity (reference
+    # st->stats, src/rzip.c:1238-1246)
     filter_flag: int = 0           # FILTER_* BCJ code or FILTER_DELTA
     delta_offset: int = 1
     dict_size: int = 0             # lzma dictionary (0 = default by level)
@@ -288,7 +291,11 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
                     jobs[nxt] = TpuMatchJob(np.asarray(data[pn:pn + cn]),
                                             stride=stride)
                 chunk = np.asarray(data[p0:p0 + csize])
-                finish_chunk(ci, p0, csize, chunk, jobs.pop(ci).collect())
+                job = jobs.pop(ci)
+                tokens = job.collect()
+                if settings.stats_sink is not None:
+                    settings.stats_sink(dict(job.stats, chunk=ci))
+                finish_chunk(ci, p0, csize, chunk, tokens)
         else:
             for ci, (p0, csize) in enumerate(bounds):
                 chunk = np.asarray(data[p0:p0 + csize])

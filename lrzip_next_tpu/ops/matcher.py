@@ -433,8 +433,14 @@ class TpuMatchJob:
             self.redo = lambda: _compact_impl()(
                 cand, ok, jnp.int32(self.limit), m)
 
+    stats: dict = {}
+
     def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self.trivial:
+            self.stats = {"chunk_bytes": self.n, "chains": 0,
+                          "matches": 0, "match_bytes": 0,
+                          "literals": 1 if self.n else 0,
+                          "literal_bytes": self.n}
             if self.n == 0:
                 return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
                         np.zeros(0, np.int64))
@@ -453,8 +459,20 @@ class TpuMatchJob:
             re = np.asarray(jax.device_get(ends[:k])).astype(np.int64)
             src = np.asarray(jax.device_get(srcs[:k])).astype(np.int64)
             rl = re - rs + 1
-        return greedy_cover_from_runs(rs, rl, src, self.n,
-                                      data=self.data)
+        kinds, lengths, dists = greedy_cover_from_runs(
+            rs, rl, src, self.n, data=self.data)
+        m = kinds == 1
+        # hash-search counter parity (reference st->stats,
+        # src/rzip.c:1238-1246 printed at max verbosity)
+        self.stats = {
+            "chunk_bytes": self.n,
+            "chains": k,
+            "matches": int(m.sum()),
+            "match_bytes": int(lengths[m].sum()),
+            "literals": int((~m).sum()),
+            "literal_bytes": int(lengths[~m].sum()),
+        }
+        return kinds, lengths, dists
 
 
 def rzip_encode_chunk_tpu(data: np.ndarray, stride: int = 1

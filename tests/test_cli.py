@@ -94,3 +94,16 @@ def test_hash_option(sample_file, capsys):
     assert run_cli(["--no-tpu", "-g", "-H", "5", str(sample_file)]) == 0
     assert run_cli(["-i", str(sample_file) + ".lrz"]) == 0
     assert "SHA512" in capsys.readouterr().out
+
+
+def test_vv_matcher_stats(tmp_path, corpus_factory, capsys):
+    # -vv on the TPU path prints per-chunk matcher counters
+    import lrzip_next_tpu.cli as cli
+    data = corpus_factory(150_000, "text")
+    src = tmp_path / "s.bin"
+    src.write_bytes(data)
+    rc = cli.main(["-f", "-Z", "--tpu", "-vv",
+                   "-o", str(tmp_path / "s.lrz"), str(src)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "matches" in err and "chains" in err
