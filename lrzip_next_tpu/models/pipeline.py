@@ -593,10 +593,15 @@ def iter_decompress(fd: BinaryIO, settings: Optional[Settings] = None,
                          f"{magic.expected_size}")
     if hasher is not None:
         stored = fd.read(hasher.digest_size)
-        if crypto is not None and len(stored) == hasher.digest_size:
+        if len(stored) != hasher.digest_size:
+            # a short tail means corruption consumed the stored hash -
+            # never skip the check silently (reference fatals on short
+            # reads, src/runzip.c:446-447)
+            raise ValueError(
+                f"archive truncated: stored {hasher.name} missing")
+        if crypto is not None:
             stored = crypto.decrypt_block(stored, crypto.salt_pass)
-        if len(stored) == hasher.digest_size and \
-                stored != hasher.digest():
+        if stored != hasher.digest():
             raise ValueError(f"{hasher.name} mismatch: archive corrupt")
 
 

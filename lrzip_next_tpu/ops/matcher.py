@@ -201,30 +201,30 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
 def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
-    """Seed-chain compaction: one reverse segmented scan propagates
-    each chain's end position to its start; a single-key sort then
-    packs (start_pos, end_pos, cand) triples to the front.  Pure XLA -
-    a sort is ~2x cheaper than the log-shift Pallas compaction at the
-    anchor scale (m/stride elements), and it runs everywhere."""
+    """XLA fallback seed compaction (CPU meshes and tests)."""
     start, is_end = _anchor_chain_masks(pos, cand, ok, limit, stride)
+    kk = pos.shape[0]
     n_runs = jnp.sum(start.astype(jnp.int32))
+    si = jnp.nonzero(start, size=cap, fill_value=kk - 1)[0]
+    ei = jnp.nonzero(is_end, size=cap, fill_value=kk - 1)[0]
+    return pos[si], pos[ei], cand[si], n_runs
 
-    # suffix-scan "first end at or after me": end position of my chain
-    def op(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(af, av, bv), af | bf
 
-    endpos, _ = jax.lax.associative_scan(
-        op, (jnp.where(is_end, pos, jnp.int32(0)), is_end),
-        reverse=True)
-
-    key = jnp.where(start, pos, _I32_BIG)
-    skey, sends, scand = jax.lax.sort((key, endpos, cand), num_keys=1)
-    return skey[:cap], sends[:cap], scand[:cap], n_runs
+@functools.partial(jax.jit, static_argnames=("cap", "stride"))
+def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int):
+    from .compact_pallas import compact_masked_pallas
+    start, is_end = _anchor_chain_masks(pos, cand, ok, limit, stride)
+    return compact_masked_pallas(start, is_end, pos, cand, cap)
 
 
 def _seed_compact_impl():
+    # An associative_scan + sort variant was tried here: ~2x cheaper on
+    # paper, but its reverse tuple-scan took >30 min of remote Mosaic/XLA
+    # compile at the 64MB bucket.  The log-shift Pallas kernel compiles
+    # in minutes and runs 0.1s per 64MB chunk; nonzero-based XLA is the
+    # CPU fallback.
+    if jax.devices()[0].platform != "cpu":
+        return compact_seeds_pallas
     return compact_seeds
 
 

