@@ -91,7 +91,7 @@ def build_parser() -> argparse.ArgumentParser:
     lo.add_argument("--costfactor", type=int, default=None)
     lo.add_argument("-m", "--maxram", type=int, default=None,
                     help="max RAM in hundreds of MB")
-    lo.add_argument("-N", "--nice-level", type=int, default=19)
+    lo.add_argument("-N", "--nice-level", type=int, default=None)
     lo.add_argument("-R", "--rzip-level", type=int, default=None)
     lo.add_argument("-T", "--threshold", nargs="?", const=0, type=int,
                     default=None,
@@ -241,6 +241,18 @@ def _out_path(args, inpath: str, decompress: bool) -> str:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     quiet = args.quiet or args.very_quiet
+
+    # process priority (reference src/main.c:863-883).  Unlike the
+    # reference we only renice when -N is given: renicing is
+    # irreversible for unprivileged processes and would leak into
+    # embedding processes (tests, library callers).
+    if args.nice_level is not None:
+        try:
+            cur = os.nice(0)
+            if args.nice_level > cur:
+                os.nice(args.nice_level - cur)
+        except OSError:
+            pass
 
     if not args.files or args.files == ["-"]:
         return _run_stdio(args)

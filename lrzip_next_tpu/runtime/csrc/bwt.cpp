@@ -30,7 +30,7 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
               std::vector<int32_t>& scratch) {
     if (n == 0) return;
     if (n == 1) { sa[0] = 0; return; }
-    std::vector<bool> is_s(n);
+    std::vector<uint8_t> is_s(n);
     is_s[n - 1] = true;  // last suffix: by construction the sentinel
     for (int32_t i = n - 2; i >= 0; i--)
         is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
