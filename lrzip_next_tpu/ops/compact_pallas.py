@@ -99,6 +99,19 @@ def _compact_tile(mask: jnp.ndarray, vals):
     return vs
 
 
+def _compact_kernel2(start_ref, pos_ref, cand_ref, out_s_ref, out_c_ref):
+    """Starts-only variant: compacts (pos, cand) at start positions in
+    a single log-shift pass - used by the anchor/seed path, where the
+    host greedy re-derives true match spans by byte verification and
+    never needs chain end positions."""
+    start = start_ref[0].astype(jnp.int32)
+    pos = pos_ref[0]
+    cand = cand_ref[0]
+    s_pos, s_cand = _compact_tile(start, [pos, cand])
+    out_s_ref[0] = s_pos
+    out_c_ref[0] = s_cand
+
+
 def _compact_kernel(start_ref, end_ref, pos_ref, cand_ref,
                     out_s_ref, out_e_ref, out_c_ref):
     start = start_ref[0].astype(jnp.int32)            # (8, 128)
@@ -186,3 +199,50 @@ def compact_masked_pallas(start: jnp.ndarray, is_end: jnp.ndarray,
     ends = merge(te, cum_e)
     cands = merge(tc, cum_s)
     return starts, ends, cands, n_runs
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def compact_starts_pallas(start: jnp.ndarray, pos: jnp.ndarray,
+                          cand: jnp.ndarray, cap: int,
+                          interpret: bool = False):
+    """Starts-only compaction: (starts, srcs, n_runs).  Half the VPU
+    work of compact_masked_pallas - for consumers that re-derive match
+    spans themselves (the verified host greedy)."""
+    m = cand.shape[0]
+    mb = ((m + T - 1) // T) * T
+    n_runs = jnp.sum(start.astype(jnp.int32))
+
+    pad = mb - m
+    nb = mb // T
+    start_m = jnp.pad(start, (0, pad)).astype(jnp.int8).reshape(
+        nb, _R, _L)
+    pos_p = jnp.pad(pos, (0, pad)).reshape(nb, _R, _L)
+    cand_p = jnp.pad(cand, (0, pad)).reshape(nb, _R, _L)
+    counts_s = jnp.sum(start_m.astype(jnp.int32), axis=(1, 2))
+    cum_s = jnp.cumsum(counts_s)
+
+    spec = pl.BlockSpec((1, _R, _L), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tile_shape = jax.ShapeDtypeStruct((nb, _R, _L), jnp.int32)
+    ts, tc = pl.pallas_call(
+        _compact_kernel2,
+        grid=(nb,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[tile_shape] * 2,
+        interpret=interpret,
+    )(start_m, pos_p, cand_p)
+
+    j = jnp.arange(cap, dtype=jnp.int32)
+
+    def merge(tiles, cum):
+        marks = jnp.zeros((cap + 1,), jnp.int32).at[
+            jnp.minimum(cum, cap)].add(1, mode="drop")
+        bc = jnp.minimum(jnp.cumsum(marks[:cap]), nb - 1)
+        prev = jnp.where(bc > 0, cum[jnp.maximum(bc - 1, 0)], 0)
+        slot = jnp.clip(j - prev, 0, T - 1)
+        return tiles[bc, slot // _L, slot % _L]
+
+    starts = merge(ts, cum_s)
+    cands = merge(tc, cum_s)
+    return starts, cands, n_runs

@@ -201,20 +201,24 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
 def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
-    """XLA fallback seed compaction (CPU meshes and tests)."""
-    start, is_end = _anchor_chain_masks(pos, cand, ok, limit, stride)
+    """XLA fallback seed compaction (CPU meshes and tests).
+
+    Only chain *starts* are compacted (ends = starts, run length 1):
+    the host greedy re-derives every span with exact byte verification
+    and right-extension, so end positions carry no information."""
+    start, _ = _anchor_chain_masks(pos, cand, ok, limit, stride)
     kk = pos.shape[0]
     n_runs = jnp.sum(start.astype(jnp.int32))
     si = jnp.nonzero(start, size=cap, fill_value=kk - 1)[0]
-    ei = jnp.nonzero(is_end, size=cap, fill_value=kk - 1)[0]
-    return pos[si], pos[ei], cand[si], n_runs
+    return pos[si], pos[si], cand[si], n_runs
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
 def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int):
-    from .compact_pallas import compact_masked_pallas
-    start, is_end = _anchor_chain_masks(pos, cand, ok, limit, stride)
-    return compact_masked_pallas(start, is_end, pos, cand, cap)
+    from .compact_pallas import compact_starts_pallas
+    start, _ = _anchor_chain_masks(pos, cand, ok, limit, stride)
+    starts, cands, n_runs = compact_starts_pallas(start, pos, cand, cap)
+    return starts, starts, cands, n_runs
 
 
 def _seed_compact_impl():
