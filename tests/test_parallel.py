@@ -36,9 +36,10 @@ def test_graft_entry_single_chip():
     import jax
     import __graft_entry__ as g
     fn, args = g.entry()
-    cand, ok = jax.jit(fn)(*args)
+    pos, cand, ok = jax.jit(fn)(*args)
     from lrzip_next_tpu.ops.matcher import HASH_W
-    assert cand.shape[0] == args[0].shape[0] - HASH_W + 1
+    # anchor path: one anchor per stride-8 row of window positions
+    assert pos.shape[0] == (args[0].shape[0] - HASH_W + 1) // 8
 
 
 @pytest.mark.parametrize("n", [2, 4, 8])
