@@ -144,30 +144,40 @@ def anchor_candidates(data: jnp.ndarray, stride: int):
     m = n - HASH_W + 1
     k = m // stride
     ma = k * stride
-    d32 = data.astype(jnp.uint32)
-    fpa = _window_fps_tree(d32, _M1)[:m]
-    fpb = _window_fps_tree(d32, _M2)[:m]
-
-    # local-min mask over the centered window [p - h, p + h]
-    h = max(stride // 2, 1)
-    fwd = _forward_window_min(fpa, h + 1)          # min over [p, p+h]
-    back = jnp.concatenate(
-        [jnp.full((h,), _U32_MAX, fwd.dtype), fwd[:-h]])  # [p-h, p]
-    is_anchor = fpa == jnp.minimum(fwd, back)
+    if jax.devices()[0].platform != "cpu":
+        # fused Pallas pass: cast + both tree hashes + local-min mask in
+        # one HBM round trip (ops/anchor_pallas.py).  Signed-order mins;
+        # any consistent order is content-defined.
+        from .anchor_pallas import anchor_fps_pallas
+        fpa_m, fpb = anchor_fps_pallas(data, stride)
+        big = jnp.int32(0x7FFFFFFF)
+        rows_a = fpa_m[:ma].reshape(k, stride)
+        rows_b = fpb[:ma].reshape(k, stride)
+    else:
+        d32 = data.astype(jnp.uint32)
+        fpa = _window_fps_tree(d32, _M1)[:m]
+        fpb = _window_fps_tree(d32, _M2)[:m]
+        # local-min mask over the centered window [p - h, p + h]
+        h = max(stride // 2, 1)
+        fwd = _forward_window_min(fpa, h + 1)      # min over [p, p+h]
+        back = jnp.concatenate(
+            [jnp.full((h,), _U32_MAX, fwd.dtype), fwd[:-h]])  # [p-h, p]
+        is_anchor = fpa == jnp.minimum(fwd, back)
+        big = _U32_MAX
+        rows_a = jnp.where(is_anchor, fpa, big)[:ma].reshape(k, stride)
+        rows_b = fpb[:ma].reshape(k, stride)
 
     # one anchor per fixed stride-row: the masked-min fingerprint.
     # Empty rows get fpa = MAX, which doubles as the invalid marker -
     # no separate ok array rides through the sorts.
-    rows_a = jnp.where(is_anchor, fpa, _U32_MAX)[:ma].reshape(k, stride)
-    rows_b = fpb[:ma].reshape(k, stride)
     row_min = jnp.min(rows_a, axis=1)
     eq = rows_a == row_min[:, None]
-    a_fpb = jnp.min(jnp.where(eq, rows_b, _U32_MAX), axis=1)
+    a_fpb = jnp.min(jnp.where(eq, rows_b, big), axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, stride), 1)
     sel = eq & (rows_b == a_fpb[:, None])
     a_pos = (jnp.arange(k, dtype=jnp.int32) * stride
              + jnp.min(jnp.where(sel, col, jnp.int32(stride)), axis=1))
-    a_pos = jnp.where(row_min != _U32_MAX, a_pos, _I32_BIG)
+    a_pos = jnp.where(row_min != big, a_pos, _I32_BIG)
 
     # nearest previous equal-fingerprint anchor via one k-sized sort
     sfpa, sfpb, spos = jax.lax.sort(
@@ -175,7 +185,7 @@ def anchor_candidates(data: jnp.ndarray, stride: int):
     same = jnp.concatenate([
         jnp.zeros((1,), bool),
         (sfpa[1:] == sfpa[:-1]) & (sfpb[1:] == sfpb[:-1])
-        & (sfpa[1:] != _U32_MAX)])
+        & (sfpa[1:] != big)])
     prev_pos = jnp.concatenate([jnp.zeros((1,), jnp.int32), spos[:-1]])
     cand_sorted = jnp.where(same, prev_pos, jnp.int32(-1))
     # back to position order (anchors were generated ascending)
