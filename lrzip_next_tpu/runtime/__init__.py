@@ -77,6 +77,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int]
         lib.bwt_block_encode.restype = i64
         lib.bwt_block_encode.argtypes = [u8p, i64, u8p, i64]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.rzip_encode_host.restype = i64
+        lib.rzip_encode_host.argtypes = [u8p, i64, i64, ctypes.c_int,
+                                         u32p, u8p, i64p, i64p, i64]
         lib.bwt_block_decode.restype = i64
         lib.bwt_block_decode.argtypes = [u8p, i64, u8p, i64]
         _lib = lib
@@ -209,6 +213,31 @@ def zpaq_decode(payload: bytes, u_len: int) -> Optional[bytes]:
         raise ValueError("corrupt zpaq block: "
                          + err.value.decode("utf-8", "replace"))
     return out[:ret].tobytes()
+
+
+def rzip_encode_host(data: np.ndarray, min_match: int,
+                     hash_bits: int = 0):
+    """Native greedy rzip matcher (the host-CPU fast path).  Returns
+    (kinds, lens, dists) or None when the runtime is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(data)
+    if not hash_bits:
+        hash_bits = max(16, min(24, int(n).bit_length() - 2))
+    table = np.zeros(1 << hash_bits, dtype=np.uint32)
+    cap = n // 16 + 4
+    kinds = np.empty(cap, dtype=np.uint8)
+    lens = np.empty(cap, dtype=np.int64)
+    dists = np.empty(cap, dtype=np.int64)
+    t = lib.rzip_encode_host(
+        _u8p(data), n, min_match, hash_bits,
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _u8p(kinds), _i64p(lens), _i64p(dists), cap)
+    if t < 0:
+        return None  # capacity overflow: caller falls back
+    return kinds[:t].copy(), lens[:t].copy(), dists[:t].copy()
 
 
 def bwt_block_encode(data: bytes) -> Optional[bytes]:

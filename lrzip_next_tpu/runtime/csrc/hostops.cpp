@@ -416,3 +416,108 @@ int64_t lzo1x_decode(const uint8_t* in, int64_t n, uint8_t* out,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ------------------------------------------------------- host matcher
+
+// Native greedy rzip matcher - the host-CPU fast path for
+// models/rzip_host.rzip_encode_chunk (no TPU present).  Design mirrors
+// the reference's hash_search (src/rzip.c:586-762): a rolling hash over
+// 32-byte windows feeds a direct-mapped last-occurrence table; hits are
+// verified with byte compares, extended both ways, and emitted greedily
+// left to right.  Buzhash rolling (rotate/XOR) replaces the reference's
+// Zobrist tag roll; the direct-mapped table replaces its open-addressed
+// chains (we keep only the most recent occurrence - nearest-previous is
+// what the greedy wants anyway).
+//
+// Returns token count (kind/len/dist filled), or -1 if cap is too
+// small.  cap >= n / 16 + 3 always suffices: every match token covers
+// >= min_match bytes and literals coalesce.
+int64_t rzip_encode_host(const uint8_t* data, int64_t n,
+                         int64_t min_match, int hash_bits,
+                         uint32_t* table /* 1 << hash_bits, zeroed */,
+                         uint8_t* out_kind, int64_t* out_len,
+                         int64_t* out_dist, int64_t cap) {
+    const int W = 32;  // rolling window (covers min_match = 31)
+    int64_t t = 0;
+    auto emit = [&](int kind, int64_t len, int64_t dist) -> bool {
+        if (t >= cap) return false;
+        out_kind[t] = (uint8_t)kind;
+        out_len[t] = len;
+        out_dist[t] = dist;
+        t++;
+        return true;
+    };
+    if (n <= W) {
+        if (n > 0 && !emit(0, n, 0)) return -1;
+        return t;
+    }
+
+    // Buzhash table: deterministic pseudo-random 64-bit values
+    uint64_t G[256];
+    uint64_t seed = 0x9E3779B97F4A7C15ull;
+    for (int i = 0; i < 256; i++) {
+        seed ^= seed >> 30; seed *= 0xBF58476D1CE4E5B9ull;
+        seed ^= seed >> 27; seed *= 0x94D049BB133111EBull;
+        seed ^= seed >> 31;
+        G[i] = seed;
+    }
+    auto rotl = [](uint64_t v, int r) {
+        return (v << r) | (v >> (64 - r));
+    };
+    auto seed_hash = [&](int64_t p) {
+        uint64_t h = 0;
+        for (int i = 0; i < W; i++)
+            h = rotl(h, 1) ^ G[data[p + i]];
+        return h;
+    };
+
+    const uint64_t mask = ((uint64_t)1 << hash_bits) - 1;
+    const int64_t m = n - W + 1;
+    int64_t lit_start = 0;   // start of the pending literal run
+    int64_t p = 0;
+    uint64_t h = seed_hash(0);
+    while (p < m) {
+        uint64_t slot = (h * 0x9E3779B97F4A7C15ull) >> 1;
+        slot &= mask;
+        uint32_t prev = table[slot];
+        table[slot] = (uint32_t)(p + 1);  // 0 = empty
+        if (prev != 0) {
+            int64_t q = (int64_t)prev - 1;
+            if (q < p) {
+                // verify + extend forward
+                int64_t len = 0;
+                int64_t maxl = n - p;
+                while (len < maxl && data[q + len] == data[p + len])
+                    len++;
+                if (len >= min_match) {
+                    int64_t dist = p - q;
+                    int64_t start = p;
+                    // extend left into the pending literal run
+                    while (start > lit_start && start - dist > 0 &&
+                           data[start - 1] == data[start - 1 - dist]) {
+                        start--;
+                        len++;
+                    }
+                    if (start > lit_start &&
+                        !emit(0, start - lit_start, 0))
+                        return -1;
+                    if (!emit(1, len, dist)) return -1;
+                    p = start + len;
+                    lit_start = p;
+                    if (p >= m) break;
+                    h = seed_hash(p);
+                    continue;
+                }
+            }
+        }
+        // roll one byte forward
+        h = rotl(h, 1) ^ rotl(G[data[p]], W & 63) ^ G[data[p + W]];
+        p++;
+    }
+    if (lit_start < n && !emit(0, n - lit_start, 0)) return -1;
+    return t;
+}
+
+}  // extern "C"
