@@ -90,19 +90,26 @@ def bench_matcher_device(data: np.ndarray, stride: int = 8) -> float:
     n = data.shape[0]
     m = n - 31
     kk = m // stride
-    cap = max(min(kk, 4096), kk // 8)
+    cap = max(min(kk, 4096), kk // 64)
 
-    def step():
+    def step_async():
         pos, cand, ok = anchor_candidates(dev, stride)
-        s, e, src, k = compact(pos, cand, ok, jnp.int32(m), cap, stride)
-        return int(k)  # scalar readback forces completion
+        return compact(pos, cand, ok, jnp.int32(m), cap, stride)[3]
 
-    step()  # compile
+    int(step_async())  # compile + sync (scalar readback: the axon
+    # remote backend's block_until_ready is async)
+
+    # steady-state pipelined throughput: queue DEPTH chunk steps
+    # back-to-back and sync once, the way the encode pipeline runs
+    # (models/pipeline submits chunk k+1 before collecting chunk k),
+    # so the ~30ms tunnel readback latency amortises away.
+    DEPTH = 4
     times = []
     for _ in range(REPS):
         t0 = time.time()
-        step()
-        times.append(time.time() - t0)
+        nrs = [step_async() for _ in range(DEPTH)]
+        int(nrs[-1])
+        times.append((time.time() - t0) / DEPTH)
     dt = sorted(times)[len(times) // 2]
     return len(data) / 1e6 / dt
 

@@ -81,7 +81,18 @@ def decompress_block(payload: bytes, ctype: int, u_len: int,
     if decomp is None:
         raise NotImplementedError(
             f"no decompressor for {C.CTYPE_NAMES.get(ctype, ctype)}")
-    out = decomp(payload, u_len, cfg)
+    try:
+        out = decomp(payload, u_len, cfg)
+    except ValueError:
+        raise
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        # corrupt payloads must surface as ValueError at the public API,
+        # whatever the host codec raises (zstd/lzma/zlib error classes)
+        raise ValueError(
+            f"corrupt {C.CTYPE_NAMES.get(ctype, ctype)} block: {e}"
+        ) from e
     if len(out) != u_len:
         raise ValueError(
             f"decompressed length {len(out)} != header u_len {u_len}")

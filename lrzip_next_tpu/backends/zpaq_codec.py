@@ -3,9 +3,15 @@
 The reference vendors libzpaq 7.15 (src/lib/libzpaq/); our equivalent
 (runtime/csrc/zpaq.cpp) implements the public-domain ZPAQ spec: decode
 runs the ZPAQL VM on any conforming archive (embedded LZ77/BWT/E8E9
-postprocessors included), encode emits an ICM/ISSE-chain context-mixing
-model readable by any conforming decoder - the reference's
-zpaq_decompress (libzpaq.h:1624-1634) included.
+postprocessors included), encode emits streams readable by any
+conforming decoder - the reference's zpaq_decompress
+(libzpaq.h:1624-1634) included.
+
+Level semantics mirror libzpaq's speed dial (method strings built at
+reference src/stream.c:304-309, libzpaq.cpp:7545-7731):
+  1   LZ77 tokens stored raw + our own ZPAQL PCOMP inverse (~300 MB/s)
+  2   LZ77 tokens under a small ICM/ISSE model (~50 MB/s)
+  3-5 direct context-mixing "mid" chain, growing model sizes (~1 MB/s)
 """
 
 from __future__ import annotations

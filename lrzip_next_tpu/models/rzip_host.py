@@ -35,7 +35,7 @@ def window_fingerprints(data: np.ndarray, w: int = 32) -> np.ndarray:
     """64-bit fingerprint of data[i:i+w] for every i in [0, n-w].
 
     Same tree-reduction construction as the TPU path
-    (ops/matcher._window_fps_tree): two independent 32-bit hashes from
+    (ops/matcher._window_fps_pair): two independent 32-bit hashes from
     log2(w) shifted multiply-add levels, packed into one uint64.  Pure
     vectorised uint32 ops - ~100x faster than the earlier modular
     prefix-product scheme (uint64 cumprod has no SIMD path).

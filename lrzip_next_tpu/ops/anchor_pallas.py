@@ -1,7 +1,7 @@
 """Fused anchor-fingerprint Pallas kernel.
 
 One pass over the chunk computes, per window position, the two 32-bit
-tree-hash fingerprints (ops/matcher._window_fps_tree) and the
+tree-hash fingerprints (ops/matcher._window_fps_pair) and the
 local-minimum anchor mask (anchor_candidates' centered window min) -
 the masked fingerprint pair comes out in a single kernel instead of
 ~8 XLA passes that each round-trip 256MB through HBM.
@@ -33,7 +33,6 @@ from .compact_pallas import _R, _L, T
 _MAX = 0x7FFFFFFF
 
 _M1 = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
-_M2 = (0xD1B54A33, 0xABC98389, 0x8CB92BA7, 0x2545F491, 0x9E377F4B)
 
 
 def _shl(x, s: int, fill):
@@ -79,20 +78,27 @@ def _make_kernel(h: int):
         x = jnp.concatenate([
             prev_ref[0][-1:, :], cur_ref[0], next_ref[0][:1, :]],
             axis=0).astype(jnp.int32)                    # (R+2, L)
+        # shared 4-level tree-hash prefix (16-byte windows), then two
+        # top-level combinations of the same (lo, hi) pair.  M5 - M5^1
+        # is odd (invertible mod 2^32), so a simultaneous collision of
+        # both outputs forces the full 64-bit (lo, hi) pair to collide:
+        # as strong as two independent hashes at ~60% of the multiplies.
         a = x
-        b = x
-        for k in range(5):
+        for k in range(4):
             half = 1 << k
             m1 = jnp.int32(np.int32(np.uint32(_M1[k])))
-            m2 = jnp.int32(np.int32(np.uint32(_M2[k])))
             a = a * m1 + _shl(a, half, 0)
-            b = b * m2 + _shl(b, half, 0)
-        # centered local-min of a over [p-h, p+h]
-        fwd = _window_min(a, h + 1)
+        hi = _shl(a, 16, 0)
+        m5 = jnp.int32(np.int32(np.uint32(_M1[4])))
+        m5b = jnp.int32(np.int32(np.uint32(_M1[4] ^ 1)))
+        fa = a * m5 + hi
+        fb = a * m5b + hi
+        # centered local-min of fa over [p-h, p+h]
+        fwd = _window_min(fa, h + 1)
         centered = jnp.minimum(_shr(fwd, h, _MAX), fwd)
-        masked = jnp.where(a == centered, a, jnp.int32(_MAX))
+        masked = jnp.where(fa == centered, fa, jnp.int32(_MAX))
         fpa_ref[0] = masked[1:-1, :]
-        fpb_ref[0] = b[1:-1, :]
+        fpb_ref[0] = fb[1:-1, :]
     return kernel
 
 

@@ -45,24 +45,28 @@ from ..format.constants import MINIMUM_MATCH
 # window implies a valid >=31-byte match).
 HASH_W = 32
 
-# Per-level odd multipliers for two independent tree hashes (mod 2^32).
+# Per-level odd multipliers for the tree hash (mod 2^32).
 _M1 = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
-_M2 = (0xD1B54A33, 0xABC98389, 0x8CB92BA7, 0x2545F491, 0x9E377F4B)
 
 
-def _window_fps_tree(data_u32: jnp.ndarray, mults) -> jnp.ndarray:
-    """Hash of every 32-byte window via 5 shifted multiply-add levels.
+def _window_fps_pair(data_u32: jnp.ndarray):
+    """Two fingerprints of every 32-byte window from one shared tree.
 
-    Level k combines hashes of adjacent 2^(k-1)-byte windows:
-    A_k[i] = A_{k-1}[i] * M_k + A_{k-1}[i + 2^(k-1)], so A_5[i] hashes
-    data[i : i+32].  No scans, no gathers - compiles fast and runs at
-    VPU speed at any chunk size.  Output length n - 31.
+    Four shifted multiply-add levels hash the 16-byte halves; the two
+    outputs are different top-level combinations of the same (lo, hi)
+    pair: fpa = lo*M5 + hi, fpb = lo*(M5^1) + hi.  M5 - (M5^1) is odd,
+    hence invertible mod 2^32, so fpa AND fpb colliding forces the full
+    64-bit (lo, hi) pair to collide - as strong as two independent
+    hashes at ~60% of the multiplies.  Output length n - 31.
     """
     a = data_u32
-    for k, m in enumerate(mults):
+    for k in range(4):
         half = 1 << k
-        a = a[:-half] * jnp.uint32(m) + a[half:]
-    return a
+        a = a[:-half] * jnp.uint32(_M1[k]) + a[half:]
+    lo, hi = a[:-16], a[16:]
+    fpa = lo * jnp.uint32(_M1[4]) + hi
+    fpb = lo * jnp.uint32(_M1[4] ^ 1) + hi
+    return fpa, fpb
 
 
 @jax.jit
@@ -87,11 +91,16 @@ def match_candidates(data: jnp.ndarray
     n = data.shape[0]
     m = n - HASH_W + 1
     d32 = data.astype(jnp.uint32)
-    fpa = _window_fps_tree(d32, _M1)[:m]
-    fpb = _window_fps_tree(d32, _M2)[:m]
+    fpa, fpb = _window_fps_pair(d32)
+    fpa, fpb = fpa[:m], fpb[:m]
     pos = jnp.arange(m, dtype=jnp.int32)
 
-    sfpa, sfpb, spos = jax.lax.sort((fpa, fpb, pos), num_keys=3)
+    # keys (fpa, pos) with fpb riding as a checked payload: the nearest
+    # previous same-fpa window is the candidate, and an fpb mismatch
+    # (hash collision) kills it.  Cheaper than a 3-key comparator; the
+    # rare true pair shadowed by an interleaved fpa-collision is lost,
+    # at ~k/2^32 odds per anchor.
+    sfpa, spos, sfpb = jax.lax.sort((fpa, pos, fpb), num_keys=2)
     same = jnp.concatenate([
         jnp.zeros((1,), bool),
         (sfpa[1:] == sfpa[:-1]) & (sfpb[1:] == sfpb[:-1])])
@@ -155,8 +164,8 @@ def anchor_candidates(data: jnp.ndarray, stride: int):
         rows_b = fpb[:ma].reshape(k, stride)
     else:
         d32 = data.astype(jnp.uint32)
-        fpa = _window_fps_tree(d32, _M1)[:m]
-        fpb = _window_fps_tree(d32, _M2)[:m]
+        fpa, fpb = _window_fps_pair(d32)
+        fpa, fpb = fpa[:m], fpb[:m]
         # local-min mask over the centered window [p - h, p + h]
         h = max(stride // 2, 1)
         fwd = _forward_window_min(fpa, h + 1)      # min over [p, p+h]
@@ -179,9 +188,12 @@ def anchor_candidates(data: jnp.ndarray, stride: int):
              + jnp.min(jnp.where(sel, col, jnp.int32(stride)), axis=1))
     a_pos = jnp.where(row_min != big, a_pos, _I32_BIG)
 
-    # nearest previous equal-fingerprint anchor via one k-sized sort
-    sfpa, sfpb, spos = jax.lax.sort(
-        (row_min, a_fpb, a_pos), num_keys=3)
+    # nearest previous equal-fingerprint anchor via one k-sized sort.
+    # (fpa, pos) are the keys; fpb rides as a checked payload so a bare
+    # fpa collision cannot produce a false candidate (see
+    # match_candidates for the trade).
+    sfpa, spos, sfpb = jax.lax.sort(
+        (row_min, a_pos, a_fpb), num_keys=2)
     same = jnp.concatenate([
         jnp.zeros((1,), bool),
         (sfpa[1:] == sfpa[:-1]) & (sfpb[1:] == sfpb[:-1])
@@ -432,7 +444,9 @@ class TpuMatchJob:
         self.m = m
         if stride > 1:
             k = m // stride
-            self.cap = max(min(k, 4096), k // 8)
+            # the compaction merge gathers cap elements (~41ns each on
+            # TPU), so a tight cap matters; overflow redoes uncapped
+            self.cap = max(min(k, 4096), k // 64)
             pos, cand, ok = anchor_candidates(dev, stride)
             self.args = (pos, cand, ok)
             self.compacted = _seed_compact_impl()(

@@ -722,6 +722,225 @@ struct RangeEncoder {
     }
 };
 
+// -------------------------------------------- LZ77 PCOMP program ------
+//
+// The fast-mode encoder (levels 1-2, mirroring libzpaq's LZ77-based low
+// methods, reference libzpaq.cpp:7545-7731) emits its own byte-aligned
+// LZ77 token stream plus a from-scratch ZPAQL *postprocessor program*
+// that inverts it, so any conforming ZPAQ decoder - the reference's
+// included - reconstructs the data by running the embedded bytecode.
+//
+// Token format (this implementation's own):
+//   0x00 len[3 LE]            literal run, `len` raw bytes follow
+//   0x01 len[3 LE] off[4 LE]  match: copy len bytes from `off` back
+//
+// The PCOMP program is a 12-state byte machine: H[0]=state, H[1]=count,
+// H[2]=offset, H[3]=byte temp; B = write cursor into the M ring.
+
+struct PAsm {
+    std::vector<U8> code;
+    std::vector<int> labels;                      // id -> position
+    std::vector<std::pair<size_t, int>> frel;     // short-jump operand
+    std::vector<std::pair<size_t, int>> fabs;     // LJ low-byte position
+
+    int newlabel() { labels.push_back(-1); return (int)labels.size() - 1; }
+    void place(int l) { labels[l] = (int)code.size(); }
+    void op(int o) { code.push_back((U8)o); }
+    void opi(int o, int n) {
+        code.push_back((U8)o);
+        code.push_back((U8)n);
+    }
+    // short relative jump (JT=39, JF=47, JMP=63): range -127..+128
+    void jrel(int o, int l) {
+        code.push_back((U8)o);
+        frel.push_back({code.size(), l});
+        code.push_back(0);
+    }
+    // conditional far jump: inverted short jump over a 3-byte LJ
+    void jfar(int cond, int l) {
+        int inv = (cond == 39) ? 47 : 39;
+        code.push_back((U8)inv);
+        code.push_back(3);  // skip the LJ (target = operand pos + 4)
+        code.push_back(255);
+        fabs.push_back({code.size(), l});
+        code.push_back(0);
+        code.push_back(0);
+    }
+    void finish() {
+        for (auto& f : frel) {
+            int delta = labels[f.second] - (int)f.first;
+            if (delta < -127 || delta > 128) throw Err("jump out of range");
+            code[f.first] = (U8)((delta - 1) & 255);
+        }
+        for (auto& f : fabs) {
+            int t = labels[f.second];
+            code[f.first] = (U8)(t & 255);
+            code[f.first + 1] = (U8)(t >> 8);
+        }
+    }
+};
+
+static std::vector<U8> build_lz_pcomp() {
+    PAsm a;
+    int S[12];
+    for (int i = 0; i < 12; i++) S[i] = a.newlabel();
+    int COPY = a.newlabel(), SET0 = a.newlabel(), DONE = a.newlabel();
+    int TO1 = a.newlabel();
+
+    // prologue: EOS check, stash byte in H[3], dispatch on H[0]
+    a.opi(239, 255);          // A> 255 ?  (EOS sentinel 0xFFFFFFFF)
+    a.jfar(39, DONE);
+    a.opi(95, 3); a.op(112);  // D=3; *D=A      (H[3] = input byte)
+    a.opi(95, 0); a.op(70);   // D=0; A=*D      (A = state)
+    for (int s = 0; s <= 10; s++) {
+        a.opi(223, s);        // A== s ?
+        a.jfar(39, S[s]);
+    }
+    // fall through = state 11: last offset byte, then the copy loop
+    a.place(S[11]);
+    a.opi(95, 3); a.op(70); a.opi(207, 24);       // A = byte << 24
+    a.opi(95, 2); a.op(134); a.op(112);           // H[2] += A (full off)
+    a.op(65); a.op(142); a.op(80);                // A=B; A-=H[2]; C=A
+    a.opi(95, 1);                                 // D=1 (count)
+    a.place(COPY);
+    a.op(69); a.op(96); a.op(57);                 // A=*C; *B=A; OUT
+    a.op(9); a.op(17);                            // B++; C++
+    a.op(70); a.op(2); a.op(112);                 // A=H[1]; A--; H[1]=A
+    a.opi(223, 0);                                // A== 0 ?
+    a.jrel(47, COPY);                             // JF -> copy more
+    a.jrel(63, SET0);
+
+    // state 0: command byte (0 = literal run, else match)
+    a.place(S[0]);
+    a.opi(95, 3); a.op(70);
+    a.opi(223, 0);
+    a.jrel(39, TO1);
+    a.opi(71, 5); a.opi(95, 0); a.op(112); a.op(56);  // state=5; halt
+    a.place(TO1);
+    a.opi(71, 1); a.opi(95, 0); a.op(112); a.op(56);  // state=1; halt
+
+    // states 1-3 / 5-7: little-endian length into H[1]; 8-10: offset
+    // low/mid bytes into H[2]
+    struct Acc { int st, var, shift, next; };
+    const Acc accs[] = {
+        {1, 1, 0, 2},  {2, 1, 8, 3},  {3, 1, 16, 4},
+        {5, 1, 0, 6},  {6, 1, 8, 7},  {7, 1, 16, 8},
+        {8, 2, 0, 9},  {9, 2, 8, 10}, {10, 2, 16, 11},
+    };
+    // state 4 first (literal copy), so its short jumps stay in range
+    a.place(S[4]);
+    a.opi(95, 3); a.op(70);                       // A = byte
+    a.op(96); a.op(57); a.op(9);                  // *B=A; OUT; B++
+    a.opi(95, 1); a.op(70); a.op(2); a.op(112);   // H[1]--
+    a.opi(223, 0);
+    a.jrel(47, DONE);                             // count left: stay in 4
+    a.place(SET0);
+    a.op(4); a.opi(95, 0); a.op(112);             // state = 0
+    a.place(DONE);
+    a.op(56);                                     // HALT
+    for (const Acc& x : accs) {
+        a.place(S[x.st]);
+        a.opi(95, 3); a.op(70);                   // A = byte
+        if (x.shift) {
+            a.opi(207, x.shift);                  // A <<= shift
+            a.opi(95, x.var); a.op(134);          // A += H[var]
+        } else {
+            a.opi(95, x.var);
+        }
+        a.op(112);                                // H[var] = A
+        a.opi(71, x.next); a.opi(95, 0); a.op(112); a.op(56);
+    }
+    a.finish();
+    return a.code;
+}
+
+static const std::vector<U8>& lz_prog() {
+    static const std::vector<U8> p = build_lz_pcomp();
+    return p;
+}
+
+// ------------------------------------------------- LZ77 tokenizer -----
+
+static void lz77_tokens(const U8* in, int64_t n, std::vector<U8>& out,
+                        int depth) {
+    const int64_t MINM = 16;
+    const int HB = 17;
+    auto emit_lits = [&](int64_t from, int64_t to) {
+        while (from < to) {
+            int64_t L = to - from;
+            if (L > 0xFFFFFF) L = 0xFFFFFF;
+            out.push_back(0);
+            out.push_back((U8)L);
+            out.push_back((U8)(L >> 8));
+            out.push_back((U8)(L >> 16));
+            out.insert(out.end(), in + from, in + from + L);
+            from += L;
+        }
+    };
+    if (n < MINM + 8) { emit_lits(0, n); return; }
+    std::vector<int32_t> head((size_t)1 << HB, -1);
+    std::vector<int32_t> prev;
+    if (depth > 1) prev.assign((size_t)n, -1);
+    auto hash8 = [&](int64_t i) -> U32 {
+        U64 x;
+        std::memcpy(&x, in + i, 8);
+        return (U32)((x * 0x9E3779B185EBCA87ULL) >> (64 - HB));
+    };
+    int64_t i = 0, lit = 0;
+    const int64_t limit = n - 8;
+    while (i <= limit) {
+        U32 h = hash8(i);
+        int32_t j = head[h];
+        if (depth > 1) prev[(size_t)i] = j;
+        head[h] = (int32_t)i;
+        int64_t blen = 0, boff = 0;
+        for (int d = depth; j >= 0 && d > 0; --d) {
+            const U8* p = in + j;
+            const U8* q = in + i;
+            const int64_t maxl = n - i;
+            int64_t l = 0;
+            while (l + 8 <= maxl) {
+                U64 x, y;
+                std::memcpy(&x, p + l, 8);
+                std::memcpy(&y, q + l, 8);
+                if (x != y) {
+                    l += __builtin_ctzll(x ^ y) >> 3;
+                    break;
+                }
+                l += 8;
+            }
+            if (l + 8 > maxl)
+                while (l < maxl && p[l] == q[l]) l++;
+            if (l > blen) { blen = l; boff = i - j; }
+            j = depth > 1 ? prev[(size_t)j] : -1;
+        }
+        if (blen >= MINM) {
+            emit_lits(lit, i);
+            int64_t L = blen > 0xFFFFFF ? 0xFFFFFF : blen;
+            out.push_back(1);
+            out.push_back((U8)L);
+            out.push_back((U8)(L >> 8));
+            out.push_back((U8)(L >> 16));
+            out.push_back((U8)boff);
+            out.push_back((U8)(boff >> 8));
+            out.push_back((U8)(boff >> 16));
+            out.push_back((U8)(boff >> 24));
+            const int64_t end = i + L;
+            const int64_t step = L > 4096 ? 61 : (L > 256 ? 7 : 1);
+            for (int64_t k = i + 1; k < end && k <= limit; k += step) {
+                U32 h2 = hash8(k);
+                if (depth > 1) prev[(size_t)k] = head[h2];
+                head[h2] = (int32_t)k;
+            }
+            i = end;
+            lit = end;
+        } else {
+            i++;
+        }
+    }
+    emit_lits(lit, n);
+}
+
 // -------------------------------------------------- decompresser ------
 
 static const U8 kTag[13] = {0x37, 0x6b, 0x53, 0x74, 0xa0, 0x31, 0x83,
@@ -732,17 +951,61 @@ struct PostProc {
     int state = 0;  // 0 init, 1 pass, 2..4 loading, 5 run
     int psize = 0;
     VM z;
+    // native fast path for this implementation's own LZ77 program: when
+    // the loaded PCOMP bytecode equals build_lz_pcomp()'s, run the same
+    // state machine natively instead of interpreting it (identical
+    // semantics; LRZ_ZPAQ_FORCE_VM=1 pins the VM for tests)
+    bool fast = false;
+    int fstate = 0;
+    U32 flen = 0, foff = 0;
 
     void init(int ph, int pm) {
         state = 0;
         psize = 0;
+        fast = false;
+        fstate = 0;
+        flen = foff = 0;
         z.clear();
         z.header.assign(300, 0);
         z.header[4] = (U8)ph;
         z.header[5] = (U8)pm;
     }
 
+    void fast_write(int ch, Sink& sink) {
+        if (ch < 0) return;  // EOS: the program just halts
+        switch (fstate) {
+            case 0: fstate = ch ? 5 : 1; break;
+            case 1: flen = (U32)ch; fstate = 2; break;
+            case 2: flen += (U32)ch << 8; fstate = 3; break;
+            case 3: flen += (U32)ch << 16; fstate = 4; break;
+            case 4:  // literal
+                sink.put(ch);
+                if (--flen == 0) fstate = 0;
+                break;
+            case 5: flen = (U32)ch; fstate = 6; break;
+            case 6: flen += (U32)ch << 8; fstate = 7; break;
+            case 7: flen += (U32)ch << 16; fstate = 8; break;
+            case 8: foff = (U32)ch; fstate = 9; break;
+            case 9: foff += (U32)ch << 8; fstate = 10; break;
+            case 10: foff += (U32)ch << 16; fstate = 11; break;
+            case 11: {
+                foff += (U32)ch << 24;
+                // overlap-safe byte copy from already-written output
+                // (the VM path reads the zero-initialised M ring when
+                // the offset underruns; mirror that)
+                for (U32 i = 0; i < flen; i++) {
+                    int64_t s = sink.pos - (int64_t)foff;
+                    sink.put(s >= 0 && s < sink.cap ? sink.p[s] : 0);
+                }
+                fstate = 0;
+                flen = foff = 0;
+                break;
+            }
+        }
+    }
+
     void write(int ch, Sink& sink) {
+        if (state == 5 && fast) { fast_write(ch, sink); return; }
         switch (state) {
             case 0:
                 if (ch < 0) throw Err("unexpected EOS");
@@ -780,6 +1043,11 @@ struct PostProc {
                     z.init_p();
                     z.out = &sink;
                     state = 5;
+                    const std::vector<U8>& lp = lz_prog();
+                    fast = (size_t)psize == lp.size()
+                        && std::memcmp(&z.header[z.hbegin], lp.data(),
+                                       lp.size()) == 0
+                        && !std::getenv("LRZ_ZPAQ_FORCE_VM");
                 }
                 break;
             case 5:
@@ -932,7 +1200,110 @@ static std::vector<U8> build_model(int sb) {
     return hdr;
 }
 
+// Fast modes (levels 1-2): LZ77 tokens + the embedded PCOMP inverse.
+// Level 1 stores the token stream raw (level-2 block, 0 components);
+// level 2 models it with a small ICM/ISSE chain (order 1 + order 2).
+static int64_t encode_stream_lz(Source& in, Sink& out, int level,
+                                int bs) {
+    build_tables();
+    if (bs < 0) bs = 4;
+    if (bs > 11) bs = 11;
+    int64_t block_cap = ((int64_t)0x100000 << bs) - 4096;
+    if (block_cap > ((int64_t)1 << 27)) block_cap = (int64_t)1 << 27;
+    const std::vector<U8>& prog = lz_prog();
+    const bool modeled = level >= 2;
+    const int depth = level >= 2 ? 16 : 2;
+
+    while (in.pos < in.len) {
+        int64_t n = in.len - in.pos;
+        if (n > block_cap) n = block_cap;
+
+        std::vector<U8> toks;
+        toks.reserve((size_t)(n / 4 + prog.size() + 64));
+        toks.push_back(1);  // PCOMP: PROG
+        toks.push_back((U8)(prog.size() & 255));
+        toks.push_back((U8)(prog.size() >> 8));
+        toks.insert(toks.end(), prog.begin(), prog.end());
+        lz77_tokens(in.p + in.pos, n, toks, depth);
+        in.pos += n;
+
+        int pm = 1;
+        while (((int64_t)1 << pm) < n) pm++;
+
+        // block header
+        std::vector<U8> body;  // hh hm ph pm n COMP 0 HCOMP 0
+        if (modeled) {
+            // 2-component model over the token stream: order-1 ICM
+            // feeding an order-2 ISSE
+            const U8 comp[] = {ICM, 16, ISSE, 17, 0};
+            const U8 hcomp[] = {
+                17, 104, 74, 4,      // C++; *C=A; B=C; A=0
+                95, 0, 59, 112,      // D=0; HASH; *D=A   (order 1)
+                10, 25, 59, 112,     // B--; D++; HASH; *D=A (order 2)
+                56,                  // HALT
+            };
+            body = {1, 3, 3, (U8)pm, 2};  // ph=3: PCOMP uses H[0..3]
+            body.insert(body.end(), comp, comp + sizeof comp);
+            body.push_back(0);
+            body.insert(body.end(), hcomp, hcomp + sizeof hcomp);
+            body.push_back(0);
+        } else {
+            body = {0, 0, 3, (U8)pm, 0, 0, 56, 0};  // ph=3: H[0..3]
+        }
+        // hsize counts hh hm ph pm n + COMP + 0 + HCOMP + 0
+        const int hsize = (int)body.size();
+
+        out.write(kTag, 13);
+        out.put('z'); out.put('P'); out.put('Q');
+        out.put(2);  // ZPAQ level 2 (allows 0-component stored blocks)
+        out.put(1);
+        out.put(hsize & 255);
+        out.put(hsize >> 8);
+        out.write(body.data(), (int64_t)body.size());
+        // segment: empty filename, size comment, reserved byte
+        out.put(1);
+        out.put(0);
+        char cbuf[32];
+        int cl = std::snprintf(cbuf, sizeof cbuf, "%lld", (long long)n);
+        for (int i = 0; i < cl; i++) out.put(cbuf[i]);
+        out.put(0);
+        out.put(0);
+
+        if (modeled) {
+            Source hs{nullptr, 0, 0};
+            std::vector<U8> hdr;
+            hdr.push_back(hsize & 255);
+            hdr.push_back(hsize >> 8);
+            hdr.insert(hdr.end(), body.begin(), body.end());
+            hs.p = hdr.data();
+            hs.len = (int64_t)hdr.size();
+            VM z;
+            z.read_header(hs);
+            Model model(z);
+            RangeEncoder enc;
+            enc.out = &out;
+            enc.pr = &model;
+            enc.init();
+            for (U8 b : toks) enc.compress(b);
+            enc.compress(-1);
+            out.put(0); out.put(0); out.put(0); out.put(0);
+        } else {
+            // stored: 4-byte big-endian count, raw bytes, zero count
+            U32 cnt = (U32)toks.size();
+            out.put((int)(cnt >> 24)); out.put((int)(cnt >> 16) & 255);
+            out.put((int)(cnt >> 8) & 255); out.put((int)cnt & 255);
+            out.write(toks.data(), (int64_t)toks.size());
+            out.put(0); out.put(0); out.put(0); out.put(0);
+        }
+        out.put(254);  // no checksum
+        out.put(255);  // end of block
+        if (out.overflow) return -1;
+    }
+    return out.pos;
+}
+
 static int64_t encode_stream(Source& in, Sink& out, int level, int bs) {
+    if (level <= 2) return encode_stream_lz(in, out, level, bs);
     build_tables();
     if (bs < 0) bs = 4;
     if (bs > 11) bs = 11;

@@ -20,8 +20,9 @@ def test_fps_match_xla_reference(stride):
     fpa_m = np.asarray(fpa_m)[:m].astype(np.uint32)
     fpb = np.asarray(fpb)[:m].astype(np.uint32)
     d32 = jnp.asarray(data).astype(jnp.uint32)
-    ref_a = np.asarray(M._window_fps_tree(d32, M._M1)[:m])
-    ref_b = np.asarray(M._window_fps_tree(d32, M._M2)[:m])
+    ra, rb = M._window_fps_pair(d32)
+    ref_a = np.asarray(ra[:m])
+    ref_b = np.asarray(rb[:m])
     # hash bits identical to the XLA tree hash
     assert np.array_equal(fpb, ref_b)
     mask = fpa_m != 0x7FFFFFFF

@@ -122,11 +122,15 @@ def test_lzma_sdk_decodes_with_ours(lzma_ref):
 
 # ------------------------------------------------------------- zpaq ---
 
-def test_zpaq_ours_decodes_with_libzpaq(zpaq_ref):
+@pytest.mark.parametrize("level", [1, 2, 4])
+def test_zpaq_ours_decodes_with_libzpaq(zpaq_ref, level):
+    """Levels 1-2 exercise the LZ77 + embedded-PCOMP fast modes: the
+    reference's libzpaq must run our from-scratch ZPAQL postprocessor
+    bytecode to reconstruct the data.  Level 4 is the CM path."""
     from lrzip_next_tpu import runtime
     if not runtime.available():
         pytest.skip("native runtime unavailable")
-    ours = runtime.zpaq_encode(SAMPLE, 4, 6)
+    ours = runtime.zpaq_encode(SAMPLE, level, 6)
     dest = ctypes.create_string_buffer(len(SAMPLE) + 4096)
     dlen = ctypes.c_int64(0)
     zpaq_ref.zpaq_decompress(dest, ctypes.byref(dlen), ours, len(ours),

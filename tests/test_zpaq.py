@@ -69,3 +69,43 @@ def test_archive_integration(corpus_factory):
     assert magic.method_code == C.MAGIC_CTYPE_ZPAQ
     assert magic.zpaq_level == 3 and magic.zpaq_bs == 4
     assert lrz.decompress(archive) == data
+
+
+# ------------------------------------------- LZ77 fast modes (1-2) ----
+# Levels 1-2 emit our own LZ77 token format plus a from-scratch ZPAQL
+# PCOMP program; decode normally takes the native fast path, and
+# LRZ_ZPAQ_FORCE_VM=1 pins the bytecode interpreter (what a foreign
+# conforming decoder such as the reference's libzpaq would run).
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_lz77_vm_and_fast_paths_agree(level, corpus_factory,
+                                      monkeypatch):
+    data = corpus_factory(150_000, "mixed") + bytes(3000) \
+        + corpus_factory(150_000, "mixed")
+    c = runtime.zpaq_encode(data, level, 4)
+    fast = runtime.zpaq_decode(c, len(data))
+    monkeypatch.setenv("LRZ_ZPAQ_FORCE_VM", "1")
+    vm = runtime.zpaq_decode(c, len(data))
+    assert fast == data and vm == data
+
+
+def test_lz77_multi_block_level1():
+    data = (b"abcdefgh" * 400_000)[: (2 << 20) + 123_456]  # 2 blocks
+    c = runtime.zpaq_encode(data, 1, 1)
+    assert len(c) < len(data) // 50
+    assert runtime.zpaq_decode(c, len(data)) == data
+
+
+def test_lz77_incompressible_random(corpus_factory):
+    data = corpus_factory(80_000, "random")
+    for level in (1, 2):
+        c = runtime.zpaq_encode(data, level, 4)
+        assert runtime.zpaq_decode(c, len(data)) == data
+
+
+def test_lz77_overlapping_matches():
+    # RLE-style overlaps (offset < length) stress the byte-serial copy
+    data = b"A" * 70_000 + b"ab" * 35_000 + b"xyz" * 23_000
+    c = runtime.zpaq_encode(data, 1, 4)
+    assert len(c) < 2000
+    assert runtime.zpaq_decode(c, len(data)) == data
