@@ -3,11 +3,19 @@
 The reference calls LzmaCompress/LzmaUncompress (src/stream.c:429-494,
 744-781) producing raw LZMA1 data with lc=3 lp=0 pb=2 and a dictionary
 size recorded in magic byte 18; no props or size header is stored in the
-block itself.  liblzma's FORMAT_RAW + FILTER_LZMA1 speaks exactly that
-bitstream: our encoder appends an end-of-payload marker (allowed - the
-reference decodes with LZMA_FINISH_ANY and a known output size), and our
-decoder stops after u_len bytes so marker-less reference streams decode
-fine too.
+block itself.
+
+Decode uses our from-scratch native decoder (runtime/csrc/lzma.cpp, the
+analog of the SDK's LzmaDec.c + the ASM decoder the reference ships) -
+it stops after u_len bytes so marker-less reference streams decode fine.
+Encode at levels 1-4 uses the native encoder (hash-chain + lazy parse,
+the SDK's algo=0 fast class: LzmaEncProps_Normalize picks fast below
+level 5); levels 5-9 use liblzma's BT4 normal mode for maximum ratio,
+mirroring the reference's own reliance on proven external codecs for
+everything it does not vendor.  liblzma remains the fallback whenever
+the native runtime is unavailable.  Our encoder appends an
+end-of-payload marker (allowed - the reference decodes with
+LZMA_FINISH_ANY and a known output size).
 """
 
 from __future__ import annotations
@@ -46,12 +54,25 @@ def _filters(cfg: BackendConfig, data_len: int, for_decode: bool = False):
 
 
 def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
+    level = min(max(cfg.compression_level, 1), 9)
+    if level < 5:
+        from .. import runtime
+        if runtime.available():
+            return runtime.lzma1_encode(
+                data, level=level, dict_size=_dict_size(cfg, len(data)),
+                lc=LZMA_LC, lp=LZMA_LP, pb=LZMA_PB)
     comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW,
                                filters=_filters(cfg, len(data)))
     return comp.compress(data) + comp.flush()
 
 
 def decompress(payload: bytes, u_len: int, cfg: BackendConfig) -> bytes:
+    from .. import runtime
+    if runtime.available():
+        out = runtime.lzma1_decode(payload, u_len, lc=LZMA_LC,
+                                   lp=LZMA_LP, pb=LZMA_PB)
+        if out is not None:
+            return out
     dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW,
                                 filters=_filters(cfg, u_len, for_decode=True))
     out = dec.decompress(payload, max_length=u_len)

@@ -18,7 +18,8 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "csrc", "hostops.cpp"),
          os.path.join(_HERE, "csrc", "zpaq.cpp"),
-         os.path.join(_HERE, "csrc", "bwt.cpp")]
+         os.path.join(_HERE, "csrc", "bwt.cpp"),
+         os.path.join(_HERE, "csrc", "lzma.cpp")]
 _SO = os.path.join(_HERE, "_hostops.so")
 
 _lib = None
@@ -83,6 +84,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                          u32p, u8p, i64p, i64p, i64]
         lib.bwt_block_decode.restype = i64
         lib.bwt_block_decode.argtypes = [u8p, i64, u8p, i64]
+        ci = ctypes.c_int
+        lib.lzma1_encode.restype = i64
+        lib.lzma1_encode.argtypes = [u8p, i64, u8p, i64, ci,
+                                     ctypes.c_uint32, ci, ci, ci]
+        lib.lzma1_decode.restype = i64
+        lib.lzma1_decode.argtypes = [u8p, i64, u8p, i64, ci, ci, ci]
         _lib = lib
         return _lib
 
@@ -238,6 +245,38 @@ def rzip_encode_host(data: np.ndarray, min_match: int,
     if t < 0:
         return None  # capacity overflow: caller falls back
     return kinds[:t].copy(), lens[:t].copy(), dists[:t].copy()
+
+
+def lzma1_encode(data: bytes, level: int = 7, dict_size: int = 1 << 24,
+                 lc: int = 3, lp: int = 0, pb: int = 2
+                 ) -> Optional[bytes]:
+    """From-scratch raw LZMA1 encode (runtime/csrc/lzma.cpp).  Returns
+    None when the runtime is unavailable or the stream expands."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + len(data) // 4 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    ret = lib.lzma1_encode(_u8p(src), len(data), _u8p(out), cap, level,
+                           dict_size, lc, lp, pb)
+    if ret < 0:
+        return None
+    return out[:ret].tobytes()
+
+
+def lzma1_decode(payload: bytes, u_len: int, lc: int = 3, lp: int = 0,
+                 pb: int = 2) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(max(u_len, 1), dtype=np.uint8)
+    ret = lib.lzma1_decode(_u8p(src), len(payload), _u8p(out), u_len,
+                           lc, lp, pb)
+    if ret != u_len:
+        raise ValueError("corrupt LZMA1 block (native decode)")
+    return out[:u_len].tobytes()
 
 
 def bwt_block_encode(data: bytes) -> Optional[bytes]:

@@ -1,0 +1,119 @@
+"""From-scratch LZMA1 codec (runtime/csrc/lzma.cpp) vs liblzma.
+
+Three-way validation on every corpus: self round trip, liblzma decodes
+our streams, we decode liblzma streams.  The SDK-oracle directions live
+in tests/test_reference_interop.py.
+"""
+
+import lzma
+
+import numpy as np
+import pytest
+
+from lrzip_next_tpu import runtime
+
+pytestmark = pytest.mark.skipif(not runtime.available(),
+                                reason="native runtime unavailable")
+
+FILT = [{"id": lzma.FILTER_LZMA1, "dict_size": 1 << 24,
+         "lc": 3, "lp": 0, "pb": 2}]
+
+
+def _lib_dec(payload: bytes, n: int) -> bytes:
+    d = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=FILT)
+    return d.decompress(payload, max_length=n)
+
+
+def _lib_enc(data: bytes) -> bytes:
+    c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=FILT)
+    return c.compress(data) + c.flush()
+
+
+def _corpora(corpus_factory):
+    return {
+        "text": corpus_factory(120_000, "text"),
+        "mixed": corpus_factory(80_000, "mixed"),
+        "random": corpus_factory(40_000, "random"),
+        "zeros": bytes(60_000),
+        "rle": b"ab" * 30_000,
+        "tiny": b"x",
+        "empty": b"",
+    }
+
+
+def test_three_way_validation(corpus_factory):
+    for name, data in _corpora(corpus_factory).items():
+        ours = runtime.lzma1_encode(data)
+        assert ours is not None
+        assert runtime.lzma1_decode(ours, len(data)) == data, name
+        assert _lib_dec(ours, len(data)) == data, name
+        ref = _lib_enc(data)
+        assert runtime.lzma1_decode(ref, len(data)) == data, name
+
+
+def test_max_match_len_boundary():
+    """Regression: runs longer than kMatchMaxLen=273 must be split, not
+    overflow the 8-bit high length tree (the len-274 bug)."""
+    rng = np.random.default_rng(7)
+    for period in (10, 100, 5000):
+        base = rng.integers(0, 256, period, dtype=np.uint8).tobytes()
+        for L in (272, 273, 274, 275, 546, 547, 1000):
+            data = (base + base * (L // period + 2))[:period + L]
+            ours = runtime.lzma1_encode(data)
+            assert runtime.lzma1_decode(ours, len(data)) == data
+            assert _lib_dec(ours, len(data)) == data
+
+
+def test_ratio_close_to_liblzma(corpus_factory):
+    data = corpus_factory(200_000, "text")
+    ours = runtime.lzma1_encode(data, level=4)
+    # class-for-class: our lazy/HC parse vs liblzma's MODE_FAST/HC4
+    c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[
+        dict(FILT[0], mode=lzma.MODE_FAST, mf=lzma.MF_HC4, nice_len=64)])
+    fast_ref = c.compress(data) + c.flush()
+    assert len(ours) < len(fast_ref) * 1.05
+    # sanity vs the optimal BT4 parse (the level 5-9 path)
+    assert len(ours) < len(_lib_enc(data)) * 1.30
+
+
+def test_corrupt_streams_rejected(corpus_factory):
+    data = corpus_factory(50_000, "text")
+    ours = bytearray(runtime.lzma1_encode(data))
+    for k in (7, len(ours) // 2, len(ours) - 3):
+        bad = bytearray(ours)
+        bad[k] ^= 0xFF
+        try:
+            out = runtime.lzma1_decode(bytes(bad), len(data))
+            # a flip may decode to different bytes without a structural
+            # error; it must never crash or hang, and usually errors
+            assert out is None or len(out) == len(data)
+        except ValueError:
+            pass
+    with pytest.raises(ValueError):
+        runtime.lzma1_decode(b"", 100)
+    with pytest.raises(ValueError):
+        runtime.lzma1_decode(bytes(ours[:4]), len(data))
+
+
+def test_dict_size_respected():
+    """Distances must stay within dict_size so the reference's windowed
+    decoder can replay our streams."""
+    rng = np.random.default_rng(3)
+    seg = rng.integers(0, 256, 60_000, dtype=np.uint8).tobytes()
+    data = seg + bytes(100) + seg  # repeat at distance ~60k
+    small = runtime.lzma1_encode(data, dict_size=1 << 12)
+    big = runtime.lzma1_encode(data, dict_size=1 << 20)
+    assert len(big) < len(small)  # big dict sees the repeat
+    for c in (small, big):
+        assert runtime.lzma1_decode(c, len(data)) == data
+
+
+def test_backend_uses_native(corpus_factory):
+    from lrzip_next_tpu.backends import BackendConfig
+    from lrzip_next_tpu.backends.lzma_codec import compress, decompress
+    data = corpus_factory(100_000, "mixed")
+    for level in (1, 3, 4, 7, 9):
+        cfg = BackendConfig(compression_level=level)
+        c = compress(data, cfg)
+        assert decompress(c, len(data), cfg) == data
+        assert _lib_dec(c, len(data)) == data  # liblzma-compatible

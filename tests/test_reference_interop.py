@@ -86,10 +86,14 @@ def _props_for(dict_size: int) -> bytes:
     return bytes([LZMA_LC_LP_PB]) + dict_size.to_bytes(4, "little")
 
 
-def test_lzma_ours_decodes_with_sdk(lzma_ref):
+@pytest.mark.parametrize("level", [4, 7])
+def test_lzma_ours_decodes_with_sdk(lzma_ref, level):
+    """Level 4 exercises our from-scratch native encoder
+    (runtime/csrc/lzma.cpp); level 7 the liblzma BT4 path.  Both must
+    produce streams the reference SDK's LzmaUncompress accepts."""
     from lrzip_next_tpu.backends.lzma_codec import compress
     from lrzip_next_tpu.backends import BackendConfig
-    cfg = BackendConfig(compression_level=7, dict_size=1 << 23)
+    cfg = BackendConfig(compression_level=level, dict_size=1 << 23)
     ours = compress(SAMPLE, cfg)
     dest = ctypes.create_string_buffer(len(SAMPLE))
     dlen = ctypes.c_size_t(len(SAMPLE))
