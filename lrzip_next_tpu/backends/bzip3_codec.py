@@ -12,10 +12,12 @@ this framework; they are tagged with a payload magic so foreign libbz3
 payloads are detected and rejected with a clear error instead of
 producing garbage.
 
-Framing inside each stream block: [b"B3T1"][u32 n_sub] then per
+Framing inside each stream block: [b"B3T2"][u32 n_sub] then per
 sub-block [u32 c_len][u32 u_len][payload]; sub-blocks are the 2^bs-ish
 bzip3 block size from the magic header, each independently coded (the
-reference's bzip3 also concatenates independent bz3 blocks).
+reference's bzip3 also concatenates independent bz3 blocks).  B3T2 uses
+the structured symbol coder (runtime bwt_block_encode2); B3T1 archives
+(the flat 9-bit tree generation) still decode.
 """
 
 from __future__ import annotations
@@ -27,7 +29,8 @@ from typing import Optional
 from ..format.constants import CTYPE_BZIP3, bzip3_block_size_from_prop
 from . import BackendConfig, register
 
-_MAGIC = b"B3T1"
+_MAGIC_V1 = b"B3T1"
+_MAGIC = b"B3T2"
 
 
 def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
@@ -42,9 +45,9 @@ def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
     subs = [data[i:i + bs] for i in range(0, len(data), bs)]
     if len(subs) > 1:
         with ThreadPoolExecutor(max_workers=min(len(subs), 4)) as pool:
-            encs = list(pool.map(runtime.bwt_block_encode, subs))
+            encs = list(pool.map(runtime.bwt_block_encode2, subs))
     else:
-        encs = [runtime.bwt_block_encode(subs[0])]
+        encs = [runtime.bwt_block_encode2(subs[0])]
     out = bytearray(_MAGIC)
     out += struct.pack("<I", len(subs))
     for sub, enc in zip(subs, encs):
@@ -61,9 +64,13 @@ def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
 
 def decompress(payload: bytes, u_len: int, cfg: BackendConfig) -> bytes:
     from .. import runtime
-    if payload[:4] != _MAGIC:
+    if payload[:4] == _MAGIC:
+        decode_block = runtime.bwt_block_decode2
+    elif payload[:4] == _MAGIC_V1:
+        decode_block = runtime.bwt_block_decode
+    else:
         raise ValueError(
-            "bzip3 block is not in this framework's B3T1 format - "
+            "bzip3 block is not in this framework's B3T1/B3T2 format - "
             "archives made with libbz3-linked lrzip-next are not "
             "decodable here (no libbz3 interop; see backends/"
             "bzip3_codec.py)")
@@ -80,8 +87,7 @@ def decompress(payload: bytes, u_len: int, cfg: BackendConfig) -> bytes:
             parts.append(payload[p:p + sub_ulen])
             p += sub_ulen
         else:
-            parts.append(runtime.bwt_block_decode(
-                payload[p:p + c_len], sub_ulen))
+            parts.append(decode_block(payload[p:p + c_len], sub_ulen))
             p += c_len
         total += sub_ulen
     if total != u_len:

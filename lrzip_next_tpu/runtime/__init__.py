@@ -84,6 +84,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                          u32p, u8p, i64p, i64p, i64]
         lib.bwt_block_decode.restype = i64
         lib.bwt_block_decode.argtypes = [u8p, i64, u8p, i64]
+        lib.bwt_block_encode2.restype = i64
+        lib.bwt_block_encode2.argtypes = [u8p, i64, u8p, i64]
+        lib.bwt_block_decode2.restype = i64
+        lib.bwt_block_decode2.argtypes = [u8p, i64, u8p, i64]
         ci = ctypes.c_int
         lib.lzma1_encode.restype = i64
         lib.lzma1_encode.argtypes = [u8p, i64, u8p, i64, ci,
@@ -301,6 +305,34 @@ def bwt_block_decode(payload: bytes, u_len: int) -> Optional[bytes]:
     src = np.frombuffer(payload, dtype=np.uint8)
     out = np.empty(max(u_len, 1), dtype=np.uint8)
     ret = lib.bwt_block_decode(_u8p(src), len(payload), _u8p(out), u_len)
+    if ret != u_len:
+        raise ValueError("corrupt BWT block (native decode)")
+    return out[:u_len].tobytes()
+
+
+def bwt_block_encode2(data: bytes) -> Optional[bytes]:
+    """v2 coding (structured symbol coder, ~2.5x faster entropy stage);
+    written as B3T2 payloads by backends/bzip3_codec.py."""
+    lib = _load()
+    if lib is None or len(data) == 0:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + len(data) // 8 + 256
+    out = np.empty(cap, dtype=np.uint8)
+    ret = lib.bwt_block_encode2(_u8p(src), len(data), _u8p(out), cap)
+    if ret < 0:
+        return None
+    return out[:ret].tobytes()
+
+
+def bwt_block_decode2(payload: bytes, u_len: int) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(max(u_len, 1), dtype=np.uint8)
+    ret = lib.bwt_block_decode2(_u8p(src), len(payload), _u8p(out),
+                                u_len)
     if ret != u_len:
         raise ValueError("corrupt BWT block (native decode)")
     return out[:u_len].tobytes()

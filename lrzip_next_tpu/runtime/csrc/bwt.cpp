@@ -139,6 +139,88 @@ int32_t bwt_forward(const uint8_t* in, uint8_t* out, int32_t n) {
     return q;
 }
 
+// BWT with checkpoint extraction: like bwt_forward, but also records
+// the row of suffix k (the inverse suffix array) at the c-1 interior
+// chain split points k = L, 2L, ... ((c-1)L), L = ceil(n/c).  The
+// decoder starts chain t at ckpt[t-1] and walks its output range
+// independently - c interleaved LF chains overlap the dependent-load
+// latency that makes the single-chain walk ~16 MB/s.
+int32_t bwt_forward_ck(const uint8_t* in, uint8_t* out, int32_t n,
+                       int c, uint32_t* ckpt) {
+    std::vector<int32_t> s(n + 1), sa(n + 1);
+    for (int32_t i = 0; i < n; i++) s[i] = in[i] + 1;
+    s[n] = 0;
+    std::vector<int32_t> scratch;
+    sais_int(s.data(), sa.data(), n + 1, 258, scratch);
+    const int64_t L = ((int64_t)n + c - 1) / c;
+    int32_t q = -1, w = 0;
+    for (int32_t i = 0; i <= n; i++) {
+        int32_t j = sa[i];
+        if (j == 0) { q = i; continue; }
+        if (c > 1 && j % L == 0 && j / L <= c - 1)
+            ckpt[j / L - 1] = (uint32_t)i;
+        out[w++] = in[j - 1];
+    }
+    return q;
+}
+
+// Multi-chain inverse BWT: each chain t reconstructs output range
+// [tL, min((t+1)L, n)) walking backward from its checkpoint row; the
+// last chain starts at row 0 (the sentinel rotation).  lf and symbol
+// are packed into one word per row to halve the walk's cache footprint.
+void bwt_inverse_mc(const uint8_t* bwt, uint8_t* out, int32_t n,
+                    int32_t q, int c, const uint32_t* ckpt) {
+    const int64_t L = ((int64_t)n + c - 1) / c;
+    int32_t cnt[258] = {0};
+    {
+        // symbol counts (sentinel = 0, byte b = b+1)
+        cnt[0 + 1]++;
+        for (int32_t i = 0; i < n; i++) cnt[bwt[i] + 2]++;
+        for (int32_t ch = 0; ch < 257; ch++) cnt[ch + 1] += cnt[ch];
+    }
+    auto run_walk = [&](auto* pk, auto pack, auto unpack_lf,
+                        auto unpack_sym) {
+        for (int32_t i = 0, w = 0; i <= n; i++) {
+            int32_t sym = (i == q) ? 0 : (int32_t)bwt[w++] + 1;
+            pk[i] = pack(cnt[sym]++, sym);
+        }
+        int32_t p[64];
+        int64_t kc[64], ks[64];
+        for (int t = 0; t < c; t++) {
+            int64_t kend = (t == c - 1) ? n : (t + 1) * L;
+            ks[t] = t * L;
+            kc[t] = kend - 1;
+            p[t] = (t == c - 1) ? 0 : (int32_t)ckpt[t];
+        }
+        for (;;) {
+            bool any = false;
+            for (int t = 0; t < c; t++) {
+                if (kc[t] < ks[t]) continue;
+                any = true;
+                auto v = pk[p[t]];
+                out[kc[t]--] = (uint8_t)(unpack_sym(v) - 1);
+                p[t] = unpack_lf(v);
+            }
+            if (!any) break;
+        }
+    };
+    if ((int64_t)n + 1 < ((int64_t)1 << 23)) {
+        std::vector<uint32_t> pk(n + 1);
+        run_walk(pk.data(),
+                 [](int32_t lf, int32_t sym) {
+                     return (uint32_t)((lf << 9) | sym); },
+                 [](uint32_t v) { return (int32_t)(v >> 9); },
+                 [](uint32_t v) { return (int32_t)(v & 511); });
+    } else {
+        std::vector<uint64_t> pk(n + 1);
+        run_walk(pk.data(),
+                 [](int32_t lf, int32_t sym) {
+                     return ((uint64_t)lf << 9) | (uint64_t)sym; },
+                 [](uint64_t v) { return (int32_t)(v >> 9); },
+                 [](uint64_t v) { return (int32_t)(v & 511); });
+    }
+}
+
 // Inverse BWT for the explicit-sentinel formulation.
 void bwt_inverse(const uint8_t* bwt, uint8_t* out, int32_t n,
                  int32_t q) {
@@ -349,6 +431,156 @@ int32_t mtf_rle_decode(const uint8_t* in, int64_t n, uint8_t* out,
     return w;
 }
 
+// ------------------------------------------- v2 structured coder ------
+//
+// The flat 9-bit symbol tree costs 9 adaptive-bit operations for every
+// symbol - including the RUNA/RUNB digits that dominate BWT+MTF output.
+// The v2 layout decomposes the alphabet so common symbols are cheap:
+//
+//   [is-run bit]                       run digits: +1 bit (RUNA/RUNB)
+//   else [is-EOB bit]                  almost always 0
+//        [3-bit tree: nb = bit_length(v)]
+//        [per-nb bit tree: nb-1 mantissa bits]
+//
+// Identical modeling power to the flat tree for large values, ~2 coder
+// bits for run digits and ~5 for v=1: ~2.5x faster on typical output.
+
+struct SymModel2 {
+    uint16_t p_isrun[3];
+    uint16_t p_runv[3];
+    uint16_t p_eob[3];
+    uint16_t p_nb[3][8];        // 3-bit tree (indices 1..7)
+    uint16_t p_mant[3][8][128]; // per-nb bit tree over mantissa
+    SymModel2() {
+        uint16_t* p = (uint16_t*)this;
+        size_t total = sizeof(SymModel2) / sizeof(uint16_t);
+        for (size_t i = 0; i < total; i++) p[i] = 2048;
+    }
+    static int clas(int v) {  // v = MTF index (0 handled as run)
+        if (v <= 1) return 0;
+        if (v <= 8) return 1;
+        return 2;
+    }
+    void encode_run(RangeEncoder& rc, int ctx, int digit) {
+        rc.encode_bit(p_isrun[ctx], 1);
+        rc.encode_bit(p_runv[ctx], digit);
+    }
+    void encode_val(RangeEncoder& rc, int ctx, int v) {  // v in 1..255
+        rc.encode_bit(p_isrun[ctx], 0);
+        rc.encode_bit(p_eob[ctx], 0);
+        int nb = 32 - __builtin_clz((unsigned)v);  // 1..8
+        int node = 1;
+        for (int b = 2; b >= 0; b--) {
+            int bit = ((nb - 1) >> b) & 1;
+            rc.encode_bit(p_nb[ctx][node], bit);
+            node = (node << 1) | bit;
+        }
+        int mant = v - (1 << (nb - 1));
+        uint16_t* tree = p_mant[ctx][nb - 1];
+        node = 1;
+        for (int b = nb - 2; b >= 0; b--) {
+            int bit = (mant >> b) & 1;
+            rc.encode_bit(tree[node], bit);
+            node = (node << 1) | bit;
+        }
+    }
+    void encode_eob(RangeEncoder& rc, int ctx) {
+        rc.encode_bit(p_isrun[ctx], 0);
+        rc.encode_bit(p_eob[ctx], 1);
+    }
+    // returns -1 EOB, 0/1 run digit as -2/-3, else value 1..255
+    int decode(RangeDecoder& rc, int ctx) {
+        if (rc.decode_bit(p_isrun[ctx]))
+            return -2 - rc.decode_bit(p_runv[ctx]);
+        if (rc.decode_bit(p_eob[ctx])) return -1;
+        int node = 1;
+        for (int b = 0; b < 3; b++)
+            node = (node << 1) | rc.decode_bit(p_nb[ctx][node]);
+        int nb = (node - 8) + 1;
+        uint16_t* tree = p_mant[ctx][nb - 1];
+        node = 1;
+        for (int b = 0; b < nb - 1; b++)
+            node = (node << 1) | rc.decode_bit(tree[node]);
+        int mant = node - (1 << (nb - 1));
+        return (1 << (nb - 1)) + mant;
+    }
+};
+
+void mtf_rle_encode2(const uint8_t* in, int32_t n,
+                     std::vector<uint8_t>& out) {
+    uint8_t order[256];
+    for (int i = 0; i < 256; i++) order[i] = (uint8_t)i;
+    RangeEncoder rc(out);
+    SymModel2 model;
+    int ctx = 0;
+    int64_t zrun = 0;
+    auto flush_run = [&]() {
+        int64_t r = zrun;
+        while (r > 0) {
+            int d = (r & 1) ? 0 : 1;  // odd -> RUNA, even -> RUNB
+            model.encode_run(rc, ctx, d);
+            ctx = 0;
+            r = (r - (d == 0 ? 1 : 2)) >> 1;
+        }
+        zrun = 0;
+    };
+    for (int32_t i = 0; i < n; i++) {
+        uint8_t c = in[i];
+        int j = 0;
+        while (order[j] != c) j++;
+        std::memmove(order + 1, order, j);
+        order[0] = c;
+        if (j == 0) { zrun++; continue; }
+        flush_run();
+        model.encode_val(rc, ctx, j);
+        ctx = SymModel2::clas(j);
+    }
+    flush_run();
+    model.encode_eob(rc, ctx);
+    rc.flush();
+}
+
+int32_t mtf_rle_decode2(const uint8_t* in, int64_t n, uint8_t* out,
+                        int32_t cap) {
+    uint8_t order[256];
+    for (int i = 0; i < 256; i++) order[i] = (uint8_t)i;
+    RangeDecoder rc(in, n);
+    SymModel2 model;
+    int ctx = 0;
+    int32_t w = 0;
+    int64_t zrun = 0, zmult = 1;
+    auto flush_run = [&]() -> bool {
+        for (int64_t k = 0; k < zrun; k++) {
+            if (w >= cap) return false;
+            out[w++] = order[0];
+        }
+        zrun = 0;
+        zmult = 1;
+        return true;
+    };
+    for (;;) {
+        int sym = model.decode(rc, ctx);
+        if (sym == -1) break;  // EOB
+        if (sym <= -2) {       // run digit
+            zrun += (sym == -2 ? 1 : 2) * zmult;
+            zmult <<= 1;
+            if (zrun > cap) return -1;
+            ctx = 0;
+            continue;
+        }
+        if (!flush_run()) return -1;
+        int j = sym;
+        uint8_t c = order[j];
+        std::memmove(order + 1, order, j);
+        order[0] = c;
+        if (w >= cap) return -1;
+        out[w++] = c;
+        ctx = SymModel2::clas(j);
+    }
+    if (!flush_run()) return -1;
+    return w;
+}
+
 void put_u32(std::vector<uint8_t>& v, uint32_t x) {
     v.push_back((uint8_t)x);
     v.push_back((uint8_t)(x >> 8));
@@ -393,6 +625,50 @@ int64_t bwt_block_decode(const uint8_t* in, int64_t n, uint8_t* out,
                                  (int32_t)u_len);
     if (got != (int32_t)u_len) return -1;
     bwt_inverse(bwt.data(), out, (int32_t)u_len, q);
+    return u_len;
+}
+
+// v2 block coding: same SA-IS/BWT front, structured symbol coder
+// (SymModel2), plus LF-chain checkpoints for the interleaved inverse -
+// the format written as B3T2 by backends/bzip3_codec.py.
+// Payload: [u32 q][u8 chains][(chains-1) x u32 ckpt][coded symbols].
+int64_t bwt_block_encode2(const uint8_t* in, int64_t n, uint8_t* out,
+                          int64_t cap) {
+    if (n <= 0 || n > 0x7FFFFF00) return -1;
+    const int c = n >= (1 << 16) ? 8 : 1;
+    std::vector<uint8_t> bwt(n);
+    uint32_t ckpt[8] = {0};
+    int32_t q = bwt_forward_ck(in, bwt.data(), (int32_t)n, c, ckpt);
+    std::vector<uint8_t> payload;
+    payload.reserve(n / 2 + 64);
+    put_u32(payload, (uint32_t)q);
+    payload.push_back((uint8_t)c);
+    for (int t = 0; t < c - 1; t++) put_u32(payload, ckpt[t]);
+    mtf_rle_encode2(bwt.data(), (int32_t)n, payload);
+    if ((int64_t)payload.size() > cap) return -1;
+    std::memcpy(out, payload.data(), payload.size());
+    return (int64_t)payload.size();
+}
+
+int64_t bwt_block_decode2(const uint8_t* in, int64_t n, uint8_t* out,
+                          int64_t u_len) {
+    if (n < 6 || u_len <= 0 || u_len > 0x7FFFFF00) return -1;
+    int32_t q = (int32_t)get_u32(in);
+    if (q < 0 || q > u_len) return -1;
+    int c = in[4];
+    if (c < 1 || c > 8) return -1;
+    int64_t hdr = 5 + 4 * (int64_t)(c - 1);
+    if (n < hdr + 1) return -1;
+    uint32_t ckpt[8] = {0};
+    for (int t = 0; t < c - 1; t++) {
+        ckpt[t] = get_u32(in + 5 + 4 * t);
+        if (ckpt[t] > (uint32_t)u_len) return -1;
+    }
+    std::vector<uint8_t> bwt(u_len);
+    int32_t got = mtf_rle_decode2(in + hdr, n - hdr, bwt.data(),
+                                  (int32_t)u_len);
+    if (got != (int32_t)u_len) return -1;
+    bwt_inverse_mc(bwt.data(), out, (int32_t)u_len, q, c, ckpt);
     return u_len;
 }
 
