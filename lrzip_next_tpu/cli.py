@@ -291,6 +291,27 @@ def main(argv: Optional[List[str]] = None) -> int:
 def _compress_one(args, path: str, quiet: bool) -> int:
     settings = settings_from_args(args)
     out_path = _out_path(args, path, decompress=False)
+    if args.outfile == "-":
+        # -o -: write the archive to stdout, messages to stderr
+        # (reference src/main.c:914-916, set_stdout)
+        t0 = time.time()
+        in_size = os.path.getsize(path)
+        with open(path, "rb") as fd:
+            data = fd.read()
+        import io as _io
+        buf = _io.BytesIO()
+        n = pipeline.compress_stream(data, buf, settings)
+        sys.stdout.buffer.write(buf.getvalue())
+        sys.stdout.buffer.flush()
+        dt = max(time.time() - t0, 1e-9)
+        if not args.very_quiet:
+            print(f"{path} - Compression Ratio: "
+                  f"{in_size / max(n, 1):.3f}. Average Compression "
+                  f"Speed: {in_size / 1e6 / dt:6.3f}MB/s.",
+                  file=sys.stderr)
+        if args.delete:
+            os.unlink(path)
+        return 0
     if os.path.exists(out_path) and not args.force:
         print(f"Output file {out_path} exists. Use -f to force overwrite.",
               file=sys.stderr)
@@ -328,6 +349,19 @@ def _decompress_one(args, path: str, quiet: bool) -> int:
         if not args.very_quiet:
             print(f"{path}: integrity OK ({total:,} bytes, "
                   f"{total / 1e6 / dt:.1f}MB/s)")
+        return 0
+    if args.outfile == "-":
+        # -o -: decompressed bytes to stdout (reference main.c:914-916)
+        total = 0
+        with open(path, "rb") as fd:
+            for chunk in pipeline.iter_decompress(fd, settings):
+                sys.stdout.buffer.write(chunk)
+                total += len(chunk)
+        sys.stdout.buffer.flush()
+        dt = max(time.time() - t0, 1e-9)
+        if not args.very_quiet:
+            print(f"{path} - decompressed {total:,} bytes, "
+                  f"{total / 1e6 / dt:.1f}MB/s", file=sys.stderr)
         return 0
     out_path = _out_path(args, path, decompress=True)
     if os.path.exists(out_path) and not args.force:

@@ -112,11 +112,10 @@ def match_candidates(data: jnp.ndarray
     return cand, cand >= 0
 
 
-_U32_MAX = jnp.uint32(0xFFFFFFFF)
 _I32_BIG = jnp.int32(0x7FFFFFF0)
 
 
-def _forward_window_min(x: jnp.ndarray, length: int) -> jnp.ndarray:
+def _forward_window_min_i32(x: jnp.ndarray, length: int) -> jnp.ndarray:
     """y[i] = min(x[i : i+length]) (same length; tail windows truncate).
     Doubling shifts - O(log length) dense passes, no gathers."""
     y = x
@@ -124,7 +123,7 @@ def _forward_window_min(x: jnp.ndarray, length: int) -> jnp.ndarray:
     while cover < length:
         step = min(cover, length - cover)
         shifted = jnp.concatenate(
-            [y[step:], jnp.full((step,), _U32_MAX, y.dtype)])
+            [y[step:], jnp.full((step,), jnp.int32(0x7FFFFFFF), y.dtype)])
         y = jnp.minimum(y, shifted)
         cover += step
     return y
@@ -153,47 +152,61 @@ def anchor_candidates(data: jnp.ndarray, stride: int):
     m = n - HASH_W + 1
     k = m // stride
     ma = k * stride
+    big = jnp.int32(0x7FFFFFFF)
     if jax.devices()[0].platform != "cpu":
         # fused Pallas pass: cast + both tree hashes + local-min mask in
         # one HBM round trip (ops/anchor_pallas.py).  Signed-order mins;
         # any consistent order is content-defined.
         from .anchor_pallas import anchor_fps_pallas
         fpa_m, fpb = anchor_fps_pallas(data, stride)
-        big = jnp.int32(0x7FFFFFFF)
-        rows_a = fpa_m[:ma].reshape(k, stride)
-        rows_b = fpb[:ma].reshape(k, stride)
+        fpa_m, fpb = fpa_m[:ma], fpb[:ma]
     else:
         d32 = data.astype(jnp.uint32)
         fpa, fpb = _window_fps_pair(d32)
-        fpa, fpb = fpa[:m], fpb[:m]
+        # signed order to match the Pallas path (any consistent order
+        # is content-defined)
+        fpa = fpa[:ma].astype(jnp.int32)
+        fpb = fpb[:ma].astype(jnp.int32)
         # local-min mask over the centered window [p - h, p + h]
         h = max(stride // 2, 1)
-        fwd = _forward_window_min(fpa, h + 1)      # min over [p, p+h]
+        fwd = _forward_window_min_i32(fpa, h + 1)  # min over [p, p+h]
         back = jnp.concatenate(
-            [jnp.full((h,), _U32_MAX, fwd.dtype), fwd[:-h]])  # [p-h, p]
+            [jnp.full((h,), big, fwd.dtype), fwd[:-h]])  # [p-h, p]
         is_anchor = fpa == jnp.minimum(fwd, back)
-        big = _U32_MAX
-        rows_a = jnp.where(is_anchor, fpa, big)[:ma].reshape(k, stride)
-        rows_b = fpb[:ma].reshape(k, stride)
+        fpa_m = jnp.where(is_anchor, fpa, big)
 
-    # one anchor per fixed stride-row: the masked-min fingerprint.
-    # Empty rows get fpa = MAX, which doubles as the invalid marker -
-    # no separate ok array rides through the sorts.
-    row_min = jnp.min(rows_a, axis=1)
-    eq = rows_a == row_min[:, None]
-    a_fpb = jnp.min(jnp.where(eq, rows_b, big), axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (k, stride), 1)
-    sel = eq & (rows_b == a_fpb[:, None])
-    a_pos = (jnp.arange(k, dtype=jnp.int32) * stride
-             + jnp.min(jnp.where(sel, col, jnp.int32(stride)), axis=1))
+    # one anchor per fixed stride-row: the leftmost masked-min
+    # fingerprint.  Selected with log-shift suffix-mins on the FLAT
+    # arrays (lane-packed; a (k, stride) reshape would waste 15/16 of
+    # every 128-lane vector) carrying (fpb, col) alongside, then one
+    # strided slice down to k.  Empty rows keep fpa = MAX, which
+    # doubles as the invalid marker.
+    idx = jax.lax.iota(jnp.int32, ma)
+    col = jax.lax.rem(idx, jnp.int32(stride))
+    v, b, c = fpa_m, fpb, col
+    step = 1
+    while step < stride:
+        vs = jnp.concatenate([v[step:], jnp.full((step,), big, v.dtype)])
+        bs = jnp.concatenate([b[step:], jnp.zeros((step,), b.dtype)])
+        cs = jnp.concatenate([c[step:],
+                              jnp.full((step,), jnp.int32(stride),
+                                       c.dtype)])
+        take = (col + step < stride) & (vs < v)
+        v = jnp.where(take, vs, v)
+        b = jnp.where(take, bs, b)
+        c = jnp.where(take, cs, c)
+        step <<= 1
+    row_min = v[::stride]
+    a_fpb8 = b[::stride].astype(jnp.uint8)  # 8-bit collision check
+    a_pos = (jnp.arange(k, dtype=jnp.int32) * stride + c[::stride])
     a_pos = jnp.where(row_min != big, a_pos, _I32_BIG)
 
     # nearest previous equal-fingerprint anchor via one k-sized sort.
-    # (fpa, pos) are the keys; fpb rides as a checked payload so a bare
-    # fpa collision cannot produce a false candidate (see
-    # match_candidates for the trade).
+    # (fpa, pos) are the keys; an 8-bit slice of fpb rides as a checked
+    # payload so a bare fpa collision cannot produce a false candidate
+    # (40-bit effective check; see match_candidates for the trade).
     sfpa, spos, sfpb = jax.lax.sort(
-        (row_min, a_pos, a_fpb), num_keys=2)
+        (row_min, a_pos, a_fpb8), num_keys=2)
     same = jnp.concatenate([
         jnp.zeros((1,), bool),
         (sfpa[1:] == sfpa[:-1]) & (sfpb[1:] == sfpb[:-1])
@@ -322,25 +335,59 @@ def _compact_impl():
     return compact_runs
 
 
+def _bucket_cap(k: int, hi: int) -> int:
+    """Power-of-two cap bucket covering k, clamped to hi - keeps the
+    redo path's jit cache warm instead of compiling per exact count."""
+    c = 1 << max(int(k - 1).bit_length(), 12)
+    return min(c, hi)
+
+
+def _fetch_compacted(starts, ends, srcs, k: int):
+    """One static-shape transfer of the capped arrays, sliced on host.
+
+    Slicing device arrays by a data-dependent k (starts[:k]) would
+    compile a fresh XLA slice per distinct k - seconds each under the
+    axon remote backend.  jnp.stack keeps it to one transfer RTT.
+    """
+    tri = np.asarray(jax.device_get(jnp.stack([starts, ends, srcs])))
+    return (tri[0, :k].astype(np.int64), tri[1, :k].astype(np.int64),
+            tri[2, :k].astype(np.int64))
+
+
+@jax.jit
+def _pack_seeds(starts, srcs):
+    """Delta-encode seeds on device before the host transfer: start
+    deltas and distances are small-valued ints whose high bytes are
+    mostly zero, which the axon tunnel's wire compression shrinks 2-4x
+    (raw positions are incompressible).  Also skips the `ends` column -
+    the anchor path's ends equal its starts."""
+    d0 = jnp.concatenate([starts[:1], jnp.diff(starts)])
+    return jnp.stack([d0, starts - srcs])
+
+
+def _fetch_seeds(starts, srcs, k: int):
+    pair = np.asarray(jax.device_get(_pack_seeds(starts, srcs)))
+    s = np.cumsum(pair[0, :k].astype(np.int64))
+    return s, s - pair[1, :k].astype(np.int64)
+
+
 def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run detection on device, then transfer only compacted run triples."""
     m = cand.shape[0]
     if limit is None:
         limit = m
-    cap = max(min(m, 4096), m // 16)
+    cap = max(min(m, 4096), m // 64)
     starts, ends, srcs, n_runs = _compact_impl()(
         cand, ok, jnp.int32(limit), cap)
     k = int(n_runs)
-    if k > cap:  # rare: extremely fragmented matches; redo uncapped
-        starts, ends, srcs, n_runs = compact_runs(
-            cand, ok, jnp.int32(limit), m)
+    if k > cap:  # rare: redo at the next bucketed cap
+        starts, ends, srcs, n_runs = _compact_impl()(
+            cand, ok, jnp.int32(limit), _bucket_cap(k, m))
         k = int(n_runs)
     if k == 0:
         return (np.zeros(0, np.int64),) * 3
-    starts_h = np.asarray(jax.device_get(starts[:k])).astype(np.int64)
-    ends_h = np.asarray(jax.device_get(ends[:k])).astype(np.int64)
-    srcs_h = np.asarray(jax.device_get(srcs[:k])).astype(np.int64)
+    starts_h, ends_h, srcs_h = _fetch_compacted(starts, ends, srcs, k)
     run_len = ends_h - starts_h + 1
     return starts_h, run_len, srcs_h
 
@@ -428,6 +475,7 @@ class TpuMatchJob:
     def __init__(self, data: np.ndarray, stride: int = 1):
         data = np.asarray(data, dtype=np.uint8)
         self.data = data
+        self.stride = stride
         self.n = len(data)
         self.trivial = self.n <= HASH_W + 4 or self.n < 4 * stride
         if self.trivial:
@@ -445,21 +493,24 @@ class TpuMatchJob:
         if stride > 1:
             k = m // stride
             # the compaction merge gathers cap elements (~41ns each on
-            # TPU), so a tight cap matters; overflow redoes uncapped
+            # TPU), so a tight cap matters; overflow redoes at the next
+            # bucketed cap (never the full k - that compiles a huge
+            # merge and ships megabytes through the tunnel)
             self.cap = max(min(k, 4096), k // 64)
             pos, cand, ok = anchor_candidates(dev, stride)
             self.args = (pos, cand, ok)
             self.compacted = _seed_compact_impl()(
                 pos, cand, ok, jnp.int32(self.limit), self.cap, stride)
-            self.redo = lambda: _seed_compact_impl()(
-                pos, cand, ok, jnp.int32(self.limit), k, stride)
+            self.redo = lambda c: _seed_compact_impl()(
+                pos, cand, ok, jnp.int32(self.limit),
+                _bucket_cap(c, k), stride)
         else:
             cand, ok = match_candidates(dev)
-            self.cap = max(min(m, 4096), m // 16)
+            self.cap = max(min(m, 4096), m // 64)
             self.compacted = _compact_impl()(
                 cand, ok, jnp.int32(self.limit), self.cap)
-            self.redo = lambda: _compact_impl()(
-                cand, ok, jnp.int32(self.limit), m)
+            self.redo = lambda c: _compact_impl()(
+                cand, ok, jnp.int32(self.limit), _bucket_cap(c, m))
 
     stats: dict = {}
 
@@ -477,15 +528,18 @@ class TpuMatchJob:
                     np.array([0], np.int64))
         starts, ends, srcs, n_runs = self.compacted
         k = int(n_runs)
-        if k > self.cap:  # overflow: redo uncapped (rare)
-            starts, ends, srcs, n_runs = self.redo()
+        if k > self.cap:  # overflow: redo at a bigger bucketed cap
+            starts, ends, srcs, n_runs = self.redo(k)
             k = int(n_runs)
         if k == 0:
             rs = rl = src = np.zeros(0, np.int64)
+        elif self.stride > 1:
+            # anchor path: ends == starts (runs re-derived by the host
+            # greedy), so ship only delta-packed (starts, dists)
+            rs, src = _fetch_seeds(starts, srcs, k)
+            rl = np.ones(k, np.int64)
         else:
-            rs = np.asarray(jax.device_get(starts[:k])).astype(np.int64)
-            re = np.asarray(jax.device_get(ends[:k])).astype(np.int64)
-            src = np.asarray(jax.device_get(srcs[:k])).astype(np.int64)
+            rs, re, src = _fetch_compacted(starts, ends, srcs, k)
             rl = re - rs + 1
         kinds, lengths, dists = greedy_cover_from_runs(
             rs, rl, src, self.n, data=self.data)

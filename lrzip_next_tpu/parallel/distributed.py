@@ -42,6 +42,39 @@ def init_distributed(coordinator: Optional[str] = None,
     return getattr(jax, "process_count", lambda: 1)()
 
 
+def kv_gather_blobs(blobs, n_hosts: int, host: int,
+                    timeout_ms: int = 600_000, tag: str = "gather"):
+    """Ordered gather of per-host chunk blobs over the jax.distributed
+    coordination service KV store.
+
+    This is the control-plane analog of the reference's ordered-writer
+    ticket (P2, src/stream.c:87-89): every host publishes its
+    (chunk_index, bytes) list; host 0 blocks until all are present and
+    returns them, others return None.  Compressed chunks are small
+    relative to DCN bandwidth, and the KV service rides the same
+    coordinator every multi-host JAX job already runs, so no device
+    collective is needed for the byte-level commit.
+    """
+    import base64
+    import pickle
+
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:
+        raise RuntimeError(
+            "jax.distributed is not initialised; call init_distributed "
+            "or pass an explicit gather callback")
+    payload = base64.b64encode(pickle.dumps(blobs)).decode("ascii")
+    client.key_value_set(f"lrz/{tag}/{host}", payload)
+    if host != 0:
+        return None
+    out = []
+    for h in range(n_hosts):
+        s = client.blocking_key_value_get(f"lrz/{tag}/{h}", timeout_ms)
+        out.append(pickle.loads(base64.b64decode(s)))
+    return out
+
+
 def chunk_assignment(n_chunks: int, n_hosts: int, host: int) -> List[int]:
     """Contiguous block assignment keeps I/O sequential per host."""
     per = (n_chunks + n_hosts - 1) // n_hosts
@@ -95,6 +128,9 @@ def compress_distributed(data: np.ndarray, out,
         eof = ci == len(bounds) - 1
         blobs.append((ci, compress_chunk_blob(data[p0:p0 + cs], eof,
                                               settings)))
+    if gather is None and n_hosts > 1:
+        # production path: coordination-service gather
+        gather = lambda my: kv_gather_blobs(my, n_hosts, host)  # noqa: E731
     if gather is None:
         all_blobs = [blobs]
     else:

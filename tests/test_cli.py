@@ -107,3 +107,26 @@ def test_vv_matcher_stats(tmp_path, corpus_factory, capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "matches" in err and "chains" in err
+
+
+def test_outfile_dash_is_stdout(sample_file, tmp_path):
+    """-o - writes to stdout with messages on stderr
+    (reference src/main.c:914-916 set_stdout)."""
+    import sys
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = str(__import__("pathlib").Path(__file__).parents[1])
+    data = open(sample_file, "rb").read()
+    r = subprocess.run(
+        [sys.executable, "-m", "lrzip_next_tpu.cli", "--no-tpu",
+         str(sample_file), "-o", "-"],
+        capture_output=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()
+    assert r.stdout[:4] == b"LRZI"
+    assert b"Compression Ratio" in r.stderr
+    r2 = subprocess.run(
+        [sys.executable, "-m", "lrzip_next_tpu.cli", "-d", "-o", "-"],
+        input=r.stdout, capture_output=True, env=env, timeout=120)
+    assert r2.returncode == 0, r2.stderr.decode()
+    assert r2.stdout == data
