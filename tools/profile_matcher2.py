@@ -57,34 +57,51 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("stride",))
     def ab_nosort(d, stride):
-        # anchor_candidates minus the two sorts
-        from lrzip_next_tpu.ops.matcher import _I32_BIG
+        # anchor_candidates minus the two sorts (current MXU-extract
+        # selection; mirror of ops/matcher.anchor_candidates)
+        from lrzip_next_tpu.ops.matcher import (_I32_BIG,
+                                                _extract_strided_i32,
+                                                _extract_strided_u16)
         n = d.shape[0]
         m = n - matcher.HASH_W + 1
         k = m // stride
         ma = k * stride
-        fpa_m, fpb = anchor_fps_pallas(d, stride)
         big = jnp.int32(0x7FFFFFFF)
-        rows_a = fpa_m[:ma].reshape(k, stride)
-        rows_b = fpb[:ma].reshape(k, stride)
-        row_min = jnp.min(rows_a, axis=1)
-        eq = rows_a == row_min[:, None]
-        a_fpb = jnp.min(jnp.where(eq, rows_b, big), axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (k, stride), 1)
-        sel = eq & (rows_b == a_fpb[:, None])
+        fpa_m, fpb = anchor_fps_pallas(d, stride)
+        fpa_m, fpb = fpa_m[:ma], fpb[:ma]
+        idx = jax.lax.iota(jnp.int32, ma)
+        col = jax.lax.rem(idx, jnp.int32(stride))
+        bc = ((fpb & jnp.int32(255)) << 5) | col
+        v, c = fpa_m, bc
+        step = 1
+        while step < stride:
+            vs = jnp.concatenate([v[step:],
+                                  jnp.full((step,), big, v.dtype)])
+            cs = jnp.concatenate([c[step:], jnp.zeros((step,), c.dtype)])
+            take = (col + step < stride) & (vs < v)
+            v = jnp.where(take, vs, v)
+            c = jnp.where(take, cs, c)
+            step <<= 1
+        pad = (-ma) % 128
+        if pad:
+            v = jnp.concatenate([v, jnp.full((pad,), big, v.dtype)])
+            c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+        row_min = _extract_strided_i32(v, stride)[:k]
+        bc_k = _extract_strided_u16(c, stride)[:k]
+        a_fpb8 = (bc_k >> 5).astype(jnp.uint8)
         a_pos = (jnp.arange(k, dtype=jnp.int32) * stride
-                 + jnp.min(jnp.where(sel, col, jnp.int32(stride)), axis=1))
+                 + (bc_k & jnp.int32(31)))
         a_pos = jnp.where(row_min != big, a_pos, _I32_BIG)
-        return row_min, a_fpb, a_pos
+        return row_min, a_pos, a_fpb8
 
     timeit("A+B' kernel + row select (no sorts)",
-           lambda: ab_nosort(dev, STRIDE)[2])
+           lambda: ab_nosort(dev, STRIDE)[1])
 
     @functools.partial(jax.jit, static_argnames=("stride",))
     def ab_sort1(d, stride):
-        row_min, a_fpb, a_pos = ab_nosort(d, stride)
-        s1, s2, s3 = jax.lax.sort((row_min, a_pos, a_fpb), num_keys=2)
-        return s3
+        row_min, a_pos, a_fpb8 = ab_nosort(d, stride)
+        s1, s2, s3 = jax.lax.sort((row_min, a_pos, a_fpb8), num_keys=2)
+        return s2
 
     timeit("A+B'' + sort1", lambda: ab_sort1(dev, STRIDE))
 
