@@ -178,7 +178,11 @@ def rzip_encode_chunk_numpy(data: np.ndarray
 
 def literals_of(data: np.ndarray, kinds: np.ndarray, lengths: np.ndarray
                 ) -> np.ndarray:
-    """Extract the literal byte stream implied by a token sequence."""
+    """Extract the literal byte stream implied by a token sequence.
+
+    Contiguous span copies: one numpy slice per literal token (tokens
+    number in the thousands; the repeat/arange fancy-index formulation
+    built n-sized index arrays and cost seconds per chunk)."""
     data = np.asarray(data, dtype=np.uint8)
     lengths = np.asarray(lengths, dtype=np.int64)
     ends = np.cumsum(lengths)
@@ -187,8 +191,10 @@ def literals_of(data: np.ndarray, kinds: np.ndarray, lengths: np.ndarray
     if not lit.any():
         return np.zeros(0, dtype=np.uint8)
     ll = lengths[lit]
-    total = int(ll.sum())
-    idx = np.repeat(starts[lit], ll) + (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(np.concatenate(([0], np.cumsum(ll)[:-1])), ll))
-    return data[idx]
+    ls = starts[lit]
+    out = np.empty(int(ll.sum()), dtype=np.uint8)
+    w = 0
+    for s, l in zip(ls.tolist(), ll.tolist()):
+        out[w:w + l] = data[s:s + l]
+        w += l
+    return out

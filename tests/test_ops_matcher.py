@@ -163,3 +163,21 @@ def test_default_anchor_stride_levels():
     # monotone: higher level never samples sparser
     vals = [default_anchor_stride(l) for l in range(1, 10)]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_extract_strided_exact():
+    """MXU selection-matmul extraction is exact for arbitrary int32
+    (16-bit halves in f32) at every supported stride."""
+    import jax.numpy as jnp
+    from lrzip_next_tpu.ops.matcher import (_extract_strided_i32,
+                                            _extract_strided_u16)
+    rng = np.random.default_rng(0)
+    for stride in (2, 4, 8, 16, 32):
+        n = 128 * 37 * stride // stride * stride
+        n = ((n + 127) // 128) * 128
+        x = rng.integers(-2**31, 2**31, n, dtype=np.int64).astype(np.int32)
+        got = np.asarray(_extract_strided_i32(jnp.asarray(x), stride))
+        np.testing.assert_array_equal(got, x[::stride])
+        x16 = rng.integers(0, 1 << 13, n).astype(np.int32)
+        got16 = np.asarray(_extract_strided_u16(jnp.asarray(x16), stride))
+        np.testing.assert_array_equal(got16, x16[::stride])

