@@ -175,6 +175,10 @@ def splice_cross_matches(kinds: np.ndarray, lengths: np.ndarray,
     ok_dists: List[int] = []
     ci = 0
     cross = sorted(cross)
+    # active cross match remainder [cs, ce_full) at distance cd - a long
+    # cross match spanning many tokens splices into EVERY literal it
+    # overlaps (any sub-range of a verified match is a valid match)
+    cur = None
     for t in range(len(kinds)):
         t_start, t_end = int(starts[t]), int(ends[t])
         if kinds[t] == 1:
@@ -182,26 +186,37 @@ def splice_cross_matches(kinds: np.ndarray, lengths: np.ndarray,
             ok_lens.append(int(lengths[t]))
             ok_dists.append(int(dists[t]))
             continue
-        # literal: splice any cross matches fully inside [t_start, t_end)
         p = t_start
-        while ci < len(cross):
-            cs_abs, cl, cd = cross[ci]
-            cs = cs_abs - chunk_base
-            if cs >= t_end:
-                break
-            ce = min(cs + cl, t_end)
-            if cs < p or ce - cs < MINIMUM_MATCH:
+        while True:
+            if cur is None:
+                if ci >= len(cross):
+                    break
+                cs_abs, cl, cd = cross[ci]
                 ci += 1
+                cur = (cs_abs - chunk_base, cs_abs - chunk_base + cl, cd)
+            cs, ce_full, cd = cur
+            if cs >= t_end:
+                break  # starts past this literal; keep for later tokens
+            ce = min(ce_full, t_end)
+            start_at = max(cs, p)
+            if ce - start_at < MINIMUM_MATCH:
+                if ce_full > t_end:
+                    cur = (t_end, ce_full, cd)
+                    break
+                cur = None
                 continue
-            if cs > p:
+            if start_at > p:
                 ok_kinds.append(0)
-                ok_lens.append(cs - p)
+                ok_lens.append(start_at - p)
                 ok_dists.append(0)
             ok_kinds.append(1)
-            ok_lens.append(ce - cs)
+            ok_lens.append(ce - start_at)
             ok_dists.append(cd)
             p = ce
-            ci += 1
+            if ce_full > t_end:
+                cur = (t_end, ce_full, cd)
+                break
+            cur = None
         if t_end > p:
             ok_kinds.append(0)
             ok_lens.append(t_end - p)

@@ -112,3 +112,24 @@ def test_cross_match_source_at_zero(tmp_path):
     pipeline.compress_file(str(src), str(arch), s)
     pipeline.decompress_file(str(arch), str(out))
     assert out.read_bytes() == data
+
+
+def test_cross_match_spans_many_tokens():
+    """A single long cross-chunk match must splice into EVERY literal it
+    overlaps, not just the first (the fragmented-literal dedup bug)."""
+    import lrzip_next_tpu as lrz
+    rng = np.random.default_rng(9)
+    # segment with internal short-range structure so the in-chunk
+    # tokenisation fragments into many literal/match tokens
+    rec = np.zeros((3000, 64), dtype=np.uint8)
+    rec[:, :16] = np.arange(16, dtype=np.uint8)
+    rec[:, 16:] = rng.integers(0, 64, (3000, 48), dtype=np.uint8)
+    noise = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+    seg = rec.tobytes() + noise  # ~392KB
+    data = seg * 4
+    s = lrz.Settings(method="none", use_tpu=False,
+                     max_chunk=len(seg) // 2 * 3, unlimited=True)
+    a = lrz.compress(data, s)
+    assert lrz.decompress(a) == data
+    # 3 of 4 segments must deduplicate almost entirely
+    assert len(a) < len(seg) * 1.35, (len(a), len(seg))
