@@ -37,36 +37,45 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
     auto is_lms = [&](int32_t i) {
         return i > 0 && is_s[i] && !is_s[i - 1];
     };
+    // comb[j] = (s[j] << 1) | is_s[j]: the induce scans read s[j-1] and
+    // is_s[j-1] at random j - one fused array halves their cache misses
+    std::vector<int32_t> comb(n);
+    for (int32_t i = 0; i < n; i++)
+        comb[i] = (s[i] << 1) | (int32_t)is_s[i];
 
-    std::vector<int32_t> bkt(K + 1);
+    std::vector<int32_t> bkt(K + 1), tail(K), head(K);
     auto bucket_bounds = [&]() {
         std::fill(bkt.begin(), bkt.end(), 0);
         for (int32_t i = 0; i < n; i++) bkt[s[i] + 1]++;
         for (int32_t c = 0; c < K; c++) bkt[c + 1] += bkt[c];
     };
+    bucket_bounds();
 
     auto induce = [&](const std::vector<int32_t>& lms) {
         std::fill(sa, sa + n, -1);
         // place LMS suffixes at ends of their buckets (reverse order)
-        bucket_bounds();
-        std::vector<int32_t> tail(K);
         for (int32_t c = 0; c < K; c++) tail[c] = bkt[c + 1];
         for (int32_t j = (int32_t)lms.size() - 1; j >= 0; j--) {
             int32_t i = lms[j];
             sa[--tail[s[i]]] = i;
         }
         // induce L-type from left
-        std::vector<int32_t> head(K);
         for (int32_t c = 0; c < K; c++) head[c] = bkt[c];
         for (int32_t k = 0; k < n; k++) {
             int32_t j = sa[k];
-            if (j > 0 && !is_s[j - 1]) sa[head[s[j - 1]]++] = j - 1;
+            if (j > 0) {
+                int32_t cb = comb[j - 1];
+                if (!(cb & 1)) sa[head[cb >> 1]++] = j - 1;
+            }
         }
         // induce S-type from right
         for (int32_t c = 0; c < K; c++) tail[c] = bkt[c + 1];
         for (int32_t k = n - 1; k >= 0; k--) {
             int32_t j = sa[k];
-            if (j > 0 && is_s[j - 1]) sa[--tail[s[j - 1]]] = j - 1;
+            if (j > 0) {
+                int32_t cb = comb[j - 1];
+                if (cb & 1) sa[--tail[cb >> 1]] = j - 1;
+            }
         }
     };
 
