@@ -570,13 +570,26 @@ int64_t encode(const U8* in, int64_t n, std::vector<U8>& out, int level,
 
         if (!use_rep && main_len >= kMatchMinLen && main_len < nice
             && pos + 1 < n) {
-            // lazy: if the next position has a strictly better match,
-            // emit a literal here instead
+            // one-step lazy with the SDK's distance-aware preference
+            // rules (GetOptimumFast, LzmaEnc.c:1970: a slightly longer
+            // match is not worth it when its distance class jumps)
             next_len = mf.find(pos + 1, &next_dist);
             have_next = 1;
-            if (next_len >= main_len + 1) {
-                main_len = 0;
-            }
+            auto change_pair = [](U32 small, U32 big) {
+                return (big >> 7) > small;
+            };
+            bool lit = false;
+            if (next_len >= main_len && next_dist < main_dist)
+                lit = true;
+            else if (next_len == main_len + 1
+                     && !change_pair(main_dist, next_dist))
+                lit = true;
+            else if (next_len > main_len + 1)
+                lit = true;
+            else if (next_len + 1 >= main_len && main_len >= 3
+                     && change_pair(next_dist, main_dist))
+                lit = true;
+            if (lit) main_len = 0;
         }
 
         int pos_state = (int)((U32)pos & pb_mask);
