@@ -10,8 +10,9 @@ conforming decoder - the reference's zpaq_decompress
 Level semantics mirror libzpaq's speed dial (method strings built at
 reference src/stream.c:304-309, libzpaq.cpp:7545-7731):
   1   LZ77 tokens stored raw + our own ZPAQL PCOMP inverse (~300 MB/s)
-  2   LZ77 tokens under a small ICM/ISSE model (~50 MB/s)
-  3-5 direct context-mixing "mid" chain, growing model sizes (~1 MB/s)
+  2   LZ77 tokens under an order-1/2 ICM/ISSE model (~35 MB/s)
+  3   deeper LZ77 search + order-1/2/3 model (~25 MB/s, near-CM ratio)
+  4-5 direct context-mixing "mid" chain, growing model sizes (~1 MB/s)
 """
 
 from __future__ import annotations

@@ -1212,7 +1212,7 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
     if (block_cap > ((int64_t)1 << 27)) block_cap = (int64_t)1 << 27;
     const std::vector<U8>& prog = lz_prog();
     const bool modeled = level >= 2;
-    const int depth = level >= 2 ? 16 : 2;
+    const int depth = level >= 3 ? 64 : (level >= 2 ? 16 : 2);
 
     while (in.pos < in.len) {
         int64_t n = in.len - in.pos;
@@ -1232,7 +1232,23 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
 
         // block header
         std::vector<U8> body;  // hh hm ph pm n COMP 0 HCOMP 0
-        if (modeled) {
+        if (modeled && level >= 3) {
+            // 3-component model: order-1 ICM -> order-2 ISSE ->
+            // order-3 ISSE over the token stream (level 3)
+            const U8 comp[] = {ICM, 16, ISSE, 17, 0, ISSE, 18, 1};
+            const U8 hcomp[] = {
+                17, 104, 74, 4,      // C++; *C=A; B=C; A=0
+                95, 0, 59, 112,      // D=0; HASH; *D=A   (order 1)
+                10, 25, 59, 112,     // B--; D++; HASH; *D=A (order 2)
+                10, 25, 59, 112,     // B--; D++; HASH; *D=A (order 3)
+                56,                  // HALT
+            };
+            body = {2, 3, 3, (U8)pm, 3};  // hh=2 (4 slots), ph=3
+            body.insert(body.end(), comp, comp + sizeof comp);
+            body.push_back(0);
+            body.insert(body.end(), hcomp, hcomp + sizeof hcomp);
+            body.push_back(0);
+        } else if (modeled) {
             // 2-component model over the token stream: order-1 ICM
             // feeding an order-2 ISSE
             const U8 comp[] = {ICM, 16, ISSE, 17, 0};
@@ -1303,7 +1319,7 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
 }
 
 static int64_t encode_stream(Source& in, Sink& out, int level, int bs) {
-    if (level <= 2) return encode_stream_lz(in, out, level, bs);
+    if (level <= 3) return encode_stream_lz(in, out, level, bs);
     build_tables();
     if (bs < 0) bs = 4;
     if (bs > 11) bs = 11;

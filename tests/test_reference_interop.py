@@ -126,9 +126,9 @@ def test_lzma_sdk_decodes_with_ours(lzma_ref):
 
 # ------------------------------------------------------------- zpaq ---
 
-@pytest.mark.parametrize("level", [1, 2, 4])
+@pytest.mark.parametrize("level", [1, 2, 3, 4])
 def test_zpaq_ours_decodes_with_libzpaq(zpaq_ref, level):
-    """Levels 1-2 exercise the LZ77 + embedded-PCOMP fast modes: the
+    """Levels 1-3 exercise the LZ77 + embedded-PCOMP fast modes: the
     reference's libzpaq must run our from-scratch ZPAQL postprocessor
     bytecode to reconstruct the data.  Level 4 is the CM path."""
     from lrzip_next_tpu import runtime
