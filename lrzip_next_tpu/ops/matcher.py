@@ -307,9 +307,12 @@ def _seed_compact_impl():
 
 def default_anchor_stride(rzip_level: int) -> int:
     """Map the reference's 1-9 rzip effort dial (src/rzip.c:67-82) to an
-    anchor sampling stride: level 9 = exhaustive (dense path)."""
+    anchor sampling stride.  Level 9 uses stride-2 anchors: detectable
+    matches shrink to ~HASH_W + 3 bytes (the format floor is 31), at a
+    quarter of the dense path's sort work - the same near-exhaustive
+    trade the reference's level-9 insert frequency makes."""
     if rzip_level >= 9:
-        return 1
+        return 2
     if rzip_level == 8:
         return 4
     if rzip_level >= 5:
