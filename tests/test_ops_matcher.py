@@ -157,7 +157,7 @@ def test_anchor_padding_no_phantom_tokens():
 
 def test_default_anchor_stride_levels():
     from lrzip_next_tpu.ops.matcher import default_anchor_stride
-    assert default_anchor_stride(9) == 1
+    assert default_anchor_stride(9) == 2
     assert default_anchor_stride(7) == 8
     assert default_anchor_stride(1) == 32
     # monotone: higher level never samples sparser
