@@ -539,7 +539,6 @@ class TpuMatchJob:
             # merge and ships megabytes through the tunnel)
             self.cap = max(min(k, 4096), k // 64)
             pos, cand, ok = anchor_candidates(dev, stride)
-            self.args = (pos, cand, ok)
             self.compacted = _seed_compact_impl()(
                 pos, cand, ok, jnp.int32(self.limit), self.cap, stride)
             self.redo = lambda c: _seed_compact_impl()(

@@ -716,10 +716,6 @@ struct RangeEncoder {
         }
     }
 
-    void flush_eos() {
-        // emit remaining range state: the reference emits nothing here;
-        // the 4 zero bytes after EOS come from the segment trailer
-    }
 };
 
 // -------------------------------------------- LZ77 PCOMP program ------
