@@ -102,3 +102,24 @@ def test_ram_detection():
     assert memplan.get_ram() > 1 << 28
     assert memplan.usable_ram(3 << 30) == 1 << 30
     assert memplan.default_max_chunk(3 << 30) == 2 << 30
+
+
+def test_corruption_fuzz_never_wrong_bytes(corpus_factory):
+    """Random single-byte flips anywhere in an archive must either
+    raise ValueError or still decode to the exact original (a flip in
+    slack bytes) - never return wrong data silently."""
+    import numpy as np
+    rng = np.random.default_rng(0xF12)
+    data = corpus_factory(120_000, "mixed")
+    for method in ("zstd", "lzma"):
+        a = bytearray(lrz.compress(data, lrz.Settings(method=method)))
+        raised = 0
+        for _ in range(12):
+            b = bytearray(a)
+            b[int(rng.integers(21, len(b)))] ^= int(rng.integers(1, 256))
+            try:
+                out = lrz.decompress(bytes(b))
+                assert out == data, f"{method}: silent corruption"
+            except ValueError:
+                raised += 1
+        assert raised >= 8, f"{method}: only {raised}/12 flips detected"
