@@ -23,6 +23,18 @@ from ..format.constants import CTYPE_ZPAQ
 from . import BackendConfig, register
 
 
+def _redundancy(data: bytes) -> int:
+    """Measured redundancy 0 (hard) .. 255 (easy), the reference's
+    `256 - compressibility*2.55` mapping over the lz4 pre-test
+    (src/stream.c:302-309; clamped at 25 like the reference)."""
+    from ..ops.lz4gate import lz4_compress_bound_pct, entropy_estimate_pct
+    pct = lz4_compress_bound_pct(data[: 1 << 20])
+    if pct is None:
+        pct = entropy_estimate_pct(data[: 1 << 20])
+    r = int(256 - pct * 2.55)
+    return max(25, min(255, r))
+
+
 def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
     from .. import runtime
     if not runtime.available():
@@ -30,7 +42,8 @@ def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
             "zpaq backend needs the native runtime (g++ not available)")
     level = min(max(cfg.zpaq_level or 4, 1), 5)
     bs = min(max(cfg.zpaq_bs or 6, 1), 11)
-    return runtime.zpaq_encode(data, level, bs)
+    return runtime.zpaq_encode(data, level, bs,
+                               redundancy=_redundancy(data))
 
 
 def decompress(payload: bytes, u_len: int, cfg: BackendConfig) -> bytes:

@@ -67,6 +67,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lzo1x_decode.argtypes = [u8p, i64, u8p, i64]
         lib.zpaq_encode.restype = i64
         lib.zpaq_encode.argtypes = [u8p, i64, u8p, i64, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_char_p,
                                     ctypes.c_int]
         lib.parse_token_stream.restype = i64
@@ -192,8 +193,11 @@ def lzo1x_decode(payload: bytes, u_len: int) -> Optional[bytes]:
     return out.tobytes()
 
 
-def zpaq_encode(data: bytes, level: int = 4, block_bits: int = 6
+def zpaq_encode(data: bytes, level: int = 4, block_bits: int = 6,
+                redundancy: int = -1, texttype: int = -1
                 ) -> Optional[bytes]:
+    """redundancy: 0 (hard) .. 255 (easy) from the lz4 gate, -1 neutral;
+    texttype: 1 text / 0 binary / -1 infer (reference stream.c:304-309)."""
     lib = _load()
     if lib is None:
         return None
@@ -202,7 +206,8 @@ def zpaq_encode(data: bytes, level: int = 4, block_bits: int = 6
     out = np.empty(cap, dtype=np.uint8)
     err = ctypes.create_string_buffer(256)
     ret = lib.zpaq_encode(_u8p(src), len(data), _u8p(out), cap,
-                          level, block_bits, err, 256)
+                          level, block_bits, redundancy, texttype,
+                          err, 256)
     if ret < 0:
         msg = err.value.decode("utf-8", "replace")
         if msg:

@@ -1128,17 +1128,46 @@ static int64_t decode_stream(Source& in, Sink& out) {
 // Tiny ZPAQL assembler for our built-in model's HCOMP program.
 struct Asm {
     std::vector<U8> code;
+    std::vector<std::pair<size_t, int>> fix;  // jump operand -> label id
+    std::vector<int> labels;
     void op(int o) { code.push_back((U8)o); }
     void op(int o, int n) { code.push_back((U8)o); code.push_back((U8)n); }
+    int newlabel() { labels.push_back(-1); return (int)labels.size() - 1; }
+    void place(int l) { labels[l] = (int)code.size(); }
+    void jrel(int o, int l) {        // JT=39 JF=47 JMP=63, short range
+        code.push_back((U8)o);
+        fix.push_back({code.size(), l});
+        code.push_back(0);
+    }
+    void finish() {
+        for (auto& f : fix) {
+            int delta = labels[f.second] - (int)f.first;
+            if (delta < -127 || delta > 128) throw Err("jump out of range");
+            code[f.first] = (U8)((delta - 1) & 255);
+        }
+    }
 };
 
 // Build a COMP+HCOMP header for an order-0..5 ICM/ISSE chain with a
 // match model and mixer (the classic "mid" topology), sized by sb.
-static std::vector<U8> build_model(int sb) {
+//
+// Adaptive extras mirror the reference's method-string expansion
+// (libzpaq.cpp:7633-7694, driven by lrzip's redundancy measurement at
+// src/stream.c:304-309):
+//  - `text`: a word-context ICM -> ISSE pair (libzpaq's "w" models) -
+//    the word hash folds case and resets on non-letters;
+//  - `periods`: up to 2 record lengths from the repetition-gap
+//    histogram, each an ICM whose context is the byte one period back
+//    (libzpaq's "c0,0,999+period" context spec).
+static std::vector<U8> build_model(int sb, bool text = false,
+                                   const int* periods = nullptr,
+                                   int nper = 0) {
     // components
     std::vector<U8> comp;
+    int n = 0;
     auto add = [&](std::initializer_list<int> v) {
         for (int x : v) comp.push_back((U8)x);
+        n++;
     };
     add({ICM, 5});                    // 0: order-0 indirect model
     add({ISSE, 13, 0});               // 1: order 1
@@ -1147,12 +1176,19 @@ static std::vector<U8> build_model(int sb) {
     add({ISSE, sb + 2, 3});           // 4: order 4
     add({ISSE, sb + 3, 4});           // 5: order 5
     add({MATCH, sb + 6, sb + 8});     // 6: long match model
-    add({MIX, 16, 0, 7, 24, 255});    // 7: final mixer over 0..6
-    int n = 8;
+    const int word_slot = text ? n : -1;
+    if (text) {
+        add({ICM, sb - 2});           // word-context indirect model
+        add({ISSE, sb - 1, n - 1});   // word+prev-byte refinement
+    }
+    const int per_slot = nper > 0 ? n : -1;
+    for (int i = 0; i < nper; i++)
+        add({ICM, sb - 4});           // byte one period back
+    add({MIX, 16, 0, n, 24, 255});    // final mixer over all above
 
     // HCOMP: ring-store the byte, then hash chains h[1..5] of orders
-    // 1..5, h[6] = order-7 hash for the match model, h[7] = byte<<8
-    // for the mixer context.
+    // 1..5, h[6] = order-7 hash for the match model, then the optional
+    // word/periodic contexts, and byte<<8 for the mixer context.
     Asm a;
     a.op(17);        // C++
     a.op(104);       // *C=A   (store input byte in M[c])
@@ -1173,19 +1209,58 @@ static std::vector<U8> build_model(int sb) {
     a.op(10);        // B--
     a.op(59);        // HASH (order 7)
     a.op(112);       // *D=A -> h[6] for MATCH
-    a.op(25);        // D++ (d=7)
+    if (text) {
+        // H[w] = letter ? hash(H[w], folded byte) : 0; then
+        // H[w+1] = hash(H[w], previous byte)
+        int skip = a.newlabel(), cont = a.newlabel();
+        a.op(95, word_slot);  // D= w
+        a.op(69);             // A=*C   (current byte)
+        a.op(183, 32);        // A&~ 32 (fold case)
+        a.op(239, 64);        // A> 64 ?
+        a.jrel(47, skip);     // JF -> not a letter
+        a.op(231, 91);        // A< 91 ?
+        a.jrel(47, skip);
+        a.op(60);             // HASHD: H[w] = (H[w]+a+512)*773
+        a.jrel(63, cont);
+        a.place(skip);
+        a.op(52);             // *D=0 (word boundary resets the hash)
+        a.place(cont);
+        a.op(70);             // A=*D  (word hash)
+        a.op(25);             // D++ (w+1)
+        a.op(74);             // B=C
+        a.op(10);             // B--  (previous byte)
+        a.op(59);             // HASH (a = (wordhash + M[c-1] + 512)*773)
+        a.op(112);            // *D=A
+    }
+    for (int i = 0; i < nper; i++) {
+        int p = periods[i];
+        a.op(95, per_slot + i);  // D= slot
+        a.op(66);                // A=C
+        while (p > 255) { a.op(143, 255); p -= 255; }  // A-= 255
+        a.op(143, p);            // A-= period remainder
+        a.op(72);                // B=A
+        a.op(4);                 // A=0
+        a.op(59);                // HASH -> hash of M[c - period]
+        a.op(112);               // *D=A
+    }
+    a.op(95, n - 1); // D= mixer slot
     a.op(69);        // A=*C  (current byte)
     a.op(207, 8);    // A<<= 8
-    a.op(112);       // *D=A -> h[7] mixer context
+    a.op(112);       // *D=A -> mixer context
     a.op(56);        // HALT
+    a.finish();
+
+    int hh = 3;                       // 2^hh context slots >= n
+    while ((1 << hh) < n) hh++;
+    const int hm = nper > 0 ? 13 : 3; // ring must reach back one period
 
     std::vector<U8> hdr;
     // hsize = hh hm ph pm n (5) + COMP + end + HCOMP + end
     int hsize = 5 + (int)comp.size() + 1 + (int)a.code.size() + 1;
     hdr.push_back(hsize & 255);
     hdr.push_back(hsize >> 8);
-    hdr.push_back(3);   // hh: 2^3 = 8 context slots (n = 8)
-    hdr.push_back(3);   // hm: 8-byte history ring
+    hdr.push_back((U8)hh);
+    hdr.push_back((U8)hm);
     hdr.push_back(0);   // ph
     hdr.push_back(0);   // pm
     hdr.push_back((U8)n);
@@ -1194,6 +1269,39 @@ static std::vector<U8> build_model(int sb) {
     for (U8 x : a.code) hdr.push_back(x);
     hdr.push_back(0);   // HCOMP end
     return hdr;
+}
+
+// Pick up to 2 dominant repetition periods (record lengths) from the
+// gap histogram between recurrences of each byte value - the analysis
+// libzpaq runs before building its level-5 method (libzpaq.cpp:7657-
+// 7694).  Returns the number of periods written to out[2].
+static int find_periods(const U8* p, int64_t n, int out[2]) {
+    constexpr int NR = 1 << 12;
+    if (n < 4 * NR) return 0;           // too little data to trust
+    std::vector<int> last(256, 0);
+    std::vector<int64_t> gaps(NR, 0);
+    for (int64_t i = 0; i < n; i++) {
+        int k = (int)(i - last[p[i]]);
+        if (k > 0 && k < NR) gaps[k]++;
+        last[p[i]] = (int)i;
+    }
+    int found = 0;
+    int64_t n1 = n - gaps[1] - gaps[2] - gaps[3];
+    for (int rounds = 0; rounds < 2; rounds++) {
+        int period = 0;
+        double score = 0;
+        int64_t t = 0;
+        for (int j = 5; j < NR && t < n1; j++) {
+            double s = (double)gaps[j] / (256.0 + (double)(n1 - t));
+            if (s > score) { score = s; period = j; }
+            t += gaps[j];
+        }
+        if (period <= 4 || score <= 0.1) break;
+        out[found++] = period;
+        n1 -= gaps[period];
+        gaps[period] = 0;
+    }
+    return found;
 }
 
 // Fast modes (levels 1-2): LZ77 tokens + the embedded PCOMP inverse.
@@ -1314,8 +1422,20 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
     return out.pos;
 }
 
-static int64_t encode_stream(Source& in, Sink& out, int level, int bs) {
+// level: the reference's 1-5 dial; redundancy: 0 (hard) .. 255 (easy)
+// from the lz4 gate measurement (src/stream.c:304-309; < 0 = neutral
+// 128); ttype: 1 = text, 0 = binary, < 0 = the reference's inference
+// (redundancy > 192 => text).
+static int64_t encode_stream(Source& in, Sink& out, int level, int bs,
+                             int redundancy = -1, int ttype = -1) {
+    if (redundancy < 0) redundancy = 128;
+    if (redundancy > 255) redundancy = 255;
+    if (ttype < 0) ttype = redundancy > 192 ? 1 : 0;
     if (level <= 3) return encode_stream_lz(in, out, level, bs);
+    // barely-compressible data: route to the LZ77 paths instead of
+    // burning CM time (libzpaq's level-4/5 low-type arms)
+    if (redundancy < 48)
+        return encode_stream_lz(in, out, 2, bs);
     build_tables();
     if (bs < 0) bs = 4;
     if (bs > 11) bs = 11;
@@ -1324,13 +1444,19 @@ static int64_t encode_stream(Source& in, Sink& out, int level, int bs) {
     int sb = 16 + (level >= 4) + 2 * (level >= 5);
     if (bs < 5) sb -= (5 - bs);
     if (sb < 10) sb = 10;
+    const bool text = ttype == 1;
 
     while (in.pos < in.len) {
         int64_t n = in.len - in.pos;
         if (n > block_cap) n = block_cap;
 
+        // level 5 analyses each block for record periodicity
+        int periods[2];
+        int nper = level >= 5
+            ? find_periods(in.p + in.pos, n, periods) : 0;
+
         // assemble model header for this block
-        std::vector<U8> hdr = build_model(sb);
+        std::vector<U8> hdr = build_model(sb, text, periods, nper);
         // VM wants the full relocated form; reuse read_header
         Source hs{hdr.data(), 0, (int64_t)hdr.size()};
         VM z;
@@ -1392,11 +1518,13 @@ int64_t zpaq_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
 // overflow/error.
 int64_t zpaq_encode(const uint8_t* in, int64_t in_len, uint8_t* out,
                     int64_t out_cap, int level, int block_bits,
+                    int redundancy, int ttype,
                     char* errbuf, int errcap) {
     try {
         tpz::Source src{in, 0, in_len};
         tpz::Sink sink{out, 0, out_cap};
-        return tpz::encode_stream(src, sink, level, block_bits);
+        return tpz::encode_stream(src, sink, level, block_bits,
+                                  redundancy, ttype);
     } catch (const std::exception& e) {
         if (errbuf && errcap > 0) {
             std::snprintf(errbuf, errcap, "%s", e.what());

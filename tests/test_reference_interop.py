@@ -144,6 +144,30 @@ def test_zpaq_ours_decodes_with_libzpaq(zpaq_ref, level):
     assert dest.raw[:dlen.value] == SAMPLE
 
 
+@pytest.mark.parametrize("redundancy,ttype", [(200, 1), (128, 0)])
+def test_zpaq_adaptive_models_decode_with_libzpaq(zpaq_ref, redundancy,
+                                                  ttype):
+    """Level-5 adaptive models (word-context ICM/ISSE for text, periodic
+    contexts from the gap histogram) are new COMP/HCOMP shapes - the
+    reference's libzpaq must still decode them bit-exactly."""
+    from lrzip_next_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rec = np.zeros((300, 300), np.uint8)
+    rec[:, :30] = rng.integers(0, 256, (1, 30), dtype=np.uint8)
+    rec[:, 30:] = rng.integers(0, 26, (300, 270), dtype=np.uint8) + 97
+    data = SAMPLE + rec.tobytes()
+    ours = runtime.zpaq_encode(data, 5, 6, redundancy, ttype)
+    dest = ctypes.create_string_buffer(len(data) + 4096)
+    dlen = ctypes.c_int64(0)
+    zpaq_ref.zpaq_decompress(dest, ctypes.byref(dlen), ours, len(ours),
+                             None, False, 0)
+    assert dlen.value == len(data)
+    assert dest.raw[:dlen.value] == data
+
+
 @pytest.mark.parametrize("method", [b"46,50,0", b"34,128,1", b"22,200,0",
                                     b"56,25,0"])
 def test_zpaq_libzpaq_decodes_with_ours(zpaq_ref, method):

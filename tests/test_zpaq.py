@@ -109,3 +109,60 @@ def test_lz77_overlapping_matches():
     c = runtime.zpaq_encode(data, 1, 4)
     assert len(c) < 2000
     assert runtime.zpaq_decode(c, len(data)) == data
+
+
+# ------------------------------------- adaptive methods (levels 4-5) --
+# The reference builds zpaq method strings from the lz4-measured
+# redundancy and an inferred text flag (src/stream.c:302-309); libzpaq
+# expands them into store/LZ77/CM models with word and periodic
+# contexts (libzpaq.cpp:7545-7731).  Our equivalents: low redundancy
+# routes to the LZ77 fast path, text adds a word-model ICM/ISSE pair,
+# level 5 adds periodic contexts from the repetition-gap histogram.
+
+def _natural_text(n):
+    import glob as _glob
+    buf = b""
+    for pat in ("/root/reference/doc/*", "/root/reference/src/*.c"):
+        for f in sorted(_glob.glob(pat)):
+            try:
+                with open(f, "rb") as fh:
+                    buf += fh.read()
+            except OSError:
+                pass
+        if len(buf) >= n:
+            break
+    return buf[:n] if len(buf) >= n else (buf * (n // max(len(buf), 1) + 1))[:n]
+
+
+def test_word_model_improves_text():
+    data = _natural_text(200_000)
+    plain = runtime.zpaq_encode(data, 4, 6, 128, 0)
+    word = runtime.zpaq_encode(data, 4, 6, 200, 1)
+    assert runtime.zpaq_decode(word, len(data)) == data
+    assert len(word) < len(plain)  # word contexts must pay for themselves
+
+
+def test_periodic_model_roundtrip():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rec = np.zeros((2000, 300), np.uint8)
+    rec[:, :30] = rng.integers(0, 256, (1, 30), dtype=np.uint8)
+    rec[:, 30:] = rng.integers(0, 26, (2000, 270), dtype=np.uint8) + 97
+    data = rec.tobytes()
+    c = runtime.zpaq_encode(data, 5, 6, 128, 0)
+    assert runtime.zpaq_decode(c, len(data)) == data
+
+
+def test_low_redundancy_routes_to_lz77(corpus_factory):
+    # redundancy < 48 at levels 4-5 takes the LZ77 path: must round-trip
+    # and come out far faster than CM (not timed here - shape-checked by
+    # the stored-vs-modeled block type staying decodable)
+    data = corpus_factory(120_000, "random")
+    c = runtime.zpaq_encode(data, 5, 6, 25, 0)
+    assert runtime.zpaq_decode(c, len(data)) == data
+
+
+def test_adaptive_defaults_match_neutral(corpus_factory):
+    data = corpus_factory(50_000, "mixed")
+    assert runtime.zpaq_encode(data, 4, 6) == \
+        runtime.zpaq_encode(data, 4, 6, 128, 0)
