@@ -3,10 +3,10 @@
 Registry mapping method names / CTYPE codes to encode+decode callables.
 The reference dispatches the same way in src/stream.c:1633-1650 (encode)
 and src/stream.c:1897-1998 (decode).  Like the reference - which links
-system libz/libbz2/libzstd rather than vendoring them - the gzip, bzip2,
-lzma and zstd paths bind proven host codecs; lzo has a from-scratch
-implementation (no system liblzo2 exists here), and zpaq/bzip3 are staged
-for native implementations.
+system libz/libbz2/libzstd rather than vendoring them - the gzip, bzip2
+and zstd paths bind proven host codecs; lzo, zpaq, bzip3 and lzma are
+from-scratch native implementations (runtime/csrc/), with liblzma as the
+lzma fallback when the native runtime is unavailable.
 
 Every compressor obeys the reference's incompressible-block contract:
 return ``None`` when the compressed form would be >= the input, leaving
@@ -29,7 +29,7 @@ class BackendConfig:
     def __init__(self, compression_level: int = 7, dict_size: int = 0,
                  zpaq_level: int = 0, zpaq_bs: int = 0, bzip3_bs: int = 0,
                  zstd_level: int = 0, zstd_strategy: int = 0,
-                 threads: int = 1):
+                 threads: int = 1, bemt: bool = True):
         self.compression_level = compression_level
         self.dict_size = dict_size
         self.zpaq_level = zpaq_level
@@ -38,6 +38,7 @@ class BackendConfig:
         self.zstd_level = zstd_level
         self.zstd_strategy = zstd_strategy
         self.threads = threads
+        self.bemt = bemt  # backend-internal MT (--nobemt disables)
 
 
 _COMPRESSORS: Dict[int, Compressor] = {}

@@ -26,11 +26,23 @@ from . import BackendConfig, register
 def _redundancy(data: bytes) -> int:
     """Measured redundancy 0 (hard) .. 255 (easy), the reference's
     `256 - compressibility*2.55` mapping over the lz4 pre-test
-    (src/stream.c:302-309; clamped at 25 like the reference)."""
+    (src/stream.c:302-309; clamped at 25 like the reference).
+
+    The reference's lz4_compresses tests progressively growing
+    prefixes of the whole buffer (src/stream.c:2346-2370); sampling
+    only the head would mis-type chunks whose first MB is
+    unrepresentative (e.g. a binary header before text), so sample up
+    to four 256KB windows spread across the block instead."""
     from ..ops.lz4gate import lz4_compress_bound_pct, entropy_estimate_pct
-    pct = lz4_compress_bound_pct(data[: 1 << 20])
+    win = 256 << 10
+    if len(data) <= 4 * win:
+        sample = data
+    else:
+        step = (len(data) - win) // 3
+        sample = b"".join(data[i * step: i * step + win] for i in range(4))
+    pct = lz4_compress_bound_pct(sample)
     if pct is None:
-        pct = entropy_estimate_pct(data[: 1 << 20])
+        pct = entropy_estimate_pct(sample)
     r = int(256 - pct * 2.55)
     return max(25, min(255, r))
 

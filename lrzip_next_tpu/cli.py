@@ -50,7 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    const=9)
     g.add_argument("--dictsize", type=int, default=None, metavar="DS",
                    help="LZMA dictionary size code 0-40")
-    g.add_argument("--nobemt", action="store_true")
+    g.add_argument("--nobemt", action="store_true",
+                   help="disable backend-internal multithreading "
+                        "(the LZMA match-finder pipeline)")
     g.add_argument("--zpaqbs", type=int, default=None)
     g.add_argument("--bzip3bs", type=int, default=None)
     g.add_argument("--zstd-level", type=int, default=None)
@@ -125,10 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def settings_from_args(args) -> pipeline.Settings:
-    conf = {} if os.environ.get("LRZIP") == "NOCONFIG" else read_config()
+def settings_from_args(args, conf=None) -> pipeline.Settings:
+    if conf is None:
+        conf = {} if os.environ.get("LRZIP") == "NOCONFIG" else read_config()
     s = pipeline.Settings()
     s.method = args.method or conf.get("compressionmethod", "lzma")
+    if s.method == "rzip":  # conf spelling for -n (src/util.c:300-301)
+        s.method = "none"
     level = args.level if args.level is not None else \
         getattr(args, "level_alias", None)
     s.compression_level = level if level is not None else \
@@ -199,10 +204,30 @@ def settings_from_args(args) -> pipeline.Settings:
                   f"({st['literal_bytes']:,} bytes), "
                   f"chains {st['chains']:,}", file=sys.stderr)
         s.stats_sink = _stats
-    if "lz4test" in conf:
-        s.lz4_test = str(conf["lz4test"]).lower() != "no"
+    if "lz4test" in conf or "lzotest" in conf:
+        # the reference's key is LZOTEST (src/util.c:314-318); lz4test
+        # is accepted as the modern alias
+        v = conf.get("lz4test", conf.get("lzotest"))
+        s.lz4_test = str(v).lower() != "no"
     if "threshold" in conf and args.threshold is None:
         s.threshold = int(conf["threshold"])
+    if args.dictsize is None and "dictionarysize" in conf:
+        p = int(conf["dictionarysize"])
+        if 0 <= p <= 40:
+            s.dict_size = C.lzma2_dict_size_from_prop(p)
+    if args.costfactor is None and "costfactor" in conf:
+        cf = int(conf["costfactor"])
+        if 10 <= cf <= 40:
+            s.costfactor_exp = cf
+    if s.passphrase is None and "encrypt" in conf:
+        # conf ENCRYPT = YES|code enables encryption (src/util.c:410-421)
+        ev = str(conf["encrypt"])
+        code = 1 if ev.upper() == "YES" else int(ev) if ev.isdigit() else 0
+        if 1 <= code <= 2:
+            import getpass
+            s.passphrase = getpass.getpass("Enter passphrase: ").encode()
+            s.enc_code = code
+    s.bemt = not args.nobemt
     if args.progress and not args.quiet:
         def _show(stage, done, total):
             pct = 100 * done // max(total, 1)
@@ -213,6 +238,46 @@ def settings_from_args(args) -> pipeline.Settings:
                 print(file=sys.stderr)
         s.progress = _show
     return s
+
+
+def _apply_conf_cli(args, conf) -> None:
+    """Honor the lrzip.conf keys that act at the CLI layer (reference
+    src/util.c:265-451): output/tmp dirs, nice, verbosity, progress,
+    DELETEFILES / REPLACEFILE (case-sensitive YES), keepbroken, locale,
+    hashcheck.  CLI flags always win over conf values."""
+    if args.outdir is None and "outputdirectory" in conf:
+        args.outdir = conf["outputdirectory"]
+    if "tmpdir" in conf:
+        os.environ.setdefault("TMPDIR", conf["tmpdir"])
+    if args.nice_level is None and "nice" in conf:
+        try:
+            n = int(conf["nice"])
+        except ValueError:
+            n = None
+        if n is not None and -20 <= n <= 19:
+            args.nice_level = n
+    if conf.get("deletefiles") == "YES":
+        args.delete = True
+    if conf.get("replacefile") == "YES":
+        args.force = True
+    if str(conf.get("keepbroken", "")).lower() == "yes":
+        args.keep_broken = True
+    if args.verbose == 0 and "verbosity" in conf:
+        v = str(conf["verbosity"]).lower()
+        args.verbose = 2 if v == "max" else 1 if v == "yes" else 0
+    if str(conf.get("showprogress", "")).lower() == "yes":
+        args.progress = True
+    if str(conf.get("hashcheck", "")).lower() == "yes":
+        args.check = True
+        if args.hash is None:
+            args.hash = 1
+    loc = str(conf.get("locale", "")).strip()
+    if loc and loc.upper() not in ("", "DEFAULT", "NONE"):
+        import locale as _locale
+        try:
+            _locale.setlocale(_locale.LC_NUMERIC, loc)
+        except _locale.Error:
+            print(f"lrzip.conf: cannot set locale {loc}", file=sys.stderr)
 
 
 def _tpu_present() -> bool:
@@ -240,6 +305,8 @@ def _out_path(args, inpath: str, decompress: bool) -> str:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    conf = {} if os.environ.get("LRZIP") == "NOCONFIG" else read_config()
+    _apply_conf_cli(args, conf)
     quiet = args.quiet or args.very_quiet
 
     # process priority (reference src/main.c:863-883).  Unlike the
@@ -372,13 +439,17 @@ def _decompress_one(args, path: str, quiet: bool) -> int:
     dt = max(time.time() - t0, 1e-9)
     if args.check:
         # -c: re-read the written file and verify against the archive's
-        # stored hash (reference src/runzip.c:470-493)
+        # stored hash - encrypted archives too: get_fileinfo decrypts
+        # the stored hash with the passphrase the decompression already
+        # required (reference src/runzip.c:470-493 re-checks -e output)
         from .models.info import get_fileinfo
         from .utils.hashing import ArchiveHash
         with open(path, "rb") as fd:
-            info = get_fileinfo(fd)
-        if info.magic.hash_code and info.stored_hash and \
-                not info.magic.enc_code:
+            info = get_fileinfo(fd, passphrase=settings.passphrase)
+        if info.magic.hash_code and not info.stored_hash:
+            print("Warning: -c requested but stored hash unreadable",
+                  file=sys.stderr)
+        if info.magic.hash_code and info.stored_hash:
             h = ArchiveHash(info.magic.hash_code)
             with open(out_path, "rb") as f:
                 while True:

@@ -71,6 +71,8 @@ class Settings:
     cross_chunk: bool = False      # matches reaching into earlier chunks
     lz4_test: bool = True          # compressibility gate before backends
     threshold: int = 100
+    bemt: bool = True              # backend-internal MT (--nobemt off,
+    # the reference's LzFindMt toggle at src/stream.c:456)
     passphrase: Optional[bytes] = None  # -e: enables encryption
     enc_code: int = 0              # 1=AES128, 2=AES256 (default 1 w/ pass)
     costfactor_exp: int = 0        # SCRYPT 2^N; 0 = auto
@@ -143,7 +145,7 @@ def _backend_cfg(settings: Settings) -> BackendConfig:
         dict_size=settings.resolved_dict_size(),
         zpaq_level=settings.resolved_zpaq_level(), zpaq_bs=settings.zpaq_bs,
         bzip3_bs=settings.bzip3_bs, zstd_level=zl, zstd_strategy=zs,
-        threads=settings.resolved_threads())
+        threads=settings.resolved_threads(), bemt=settings.bemt)
 
 
 # Largest chunk the single-chip matcher keeps resident in HBM (v5e has
@@ -440,14 +442,20 @@ def _finish_chunk_decode(job: "_ChunkDecodeJob", fd: BinaryIO, hdr,
     chunk_bytes = chunk.tobytes()
     crc = zlib.crc32(chunk_bytes) & 0xFFFFFFFF
     crc_ok = stored_crc == stored_crc_int(crc)
-    if not crc_ok:
-        # reference-produced CRC-mode multi-chunk archives accumulate the
-        # CRC handle across chunks on decode; accept the cumulative value
+    if not crc_ok and cumulative_crc != 0:
+        # The reference never resets its gcry CRC handle between chunks
+        # (src/rzip.c:943-950 opens it once per file), so reference
+        # multi-chunk archives store the CRC of the whole prefix; our
+        # writer stores the per-chunk CRC.  Both interpretations
+        # coincide on chunk 0 (cumulative_crc == 0 there, so this
+        # branch is unreachable for the first chunk); for later chunks
+        # a corrupt chunk passing the other interpretation by chance is
+        # a 2^-32 event - same strength as a single CRC32.
         cum = zlib.crc32(chunk_bytes, cumulative_crc) & 0xFFFFFFFF
-        if stored_crc != stored_crc_int(cum):
-            raise ValueError(
-                f"chunk CRC mismatch: stored 0x{stored_crc:08x}")
-        crc_ok = True
+        crc_ok = stored_crc == stored_crc_int(cum)
+    if not crc_ok:
+        raise ValueError(
+            f"chunk CRC mismatch: stored 0x{stored_crc:08x}")
     return chunk_bytes, crc_ok
 
 

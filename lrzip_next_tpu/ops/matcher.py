@@ -518,6 +518,7 @@ class TpuMatchJob:
         self.data = data
         self.stride = stride
         self.n = len(data)
+        self.stats: dict = {}
         self.trivial = self.n <= HASH_W + 4 or self.n < 4 * stride
         if self.trivial:
             return
@@ -551,8 +552,6 @@ class TpuMatchJob:
                 cand, ok, jnp.int32(self.limit), self.cap)
             self.redo = lambda c: _compact_impl()(
                 cand, ok, jnp.int32(self.limit), _bucket_cap(c, m))
-
-    stats: dict = {}
 
     def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self.trivial:

@@ -1154,14 +1154,19 @@ struct Asm {
 // Adaptive extras mirror the reference's method-string expansion
 // (libzpaq.cpp:7633-7694, driven by lrzip's redundancy measurement at
 // src/stream.c:304-309):
-//  - `text`: a word-context ICM -> ISSE pair (libzpaq's "w" models) -
-//    the word hash folds case and resets on non-letters;
+//  - `word`: word-context models (libzpaq's "w" specs): 0 = none,
+//    1 = small ICM/ISSE pair (binary mode, libzpaq's level-5 "w1i1"),
+//    2 = full-size pair (text) - the word hash folds case and resets
+//    on non-letters;
 //  - `periods`: up to 2 record lengths from the repetition-gap
 //    histogram, each an ICM whose context is the byte one period back
-//    (libzpaq's "c0,0,999+period" context spec).
-static std::vector<U8> build_model(int sb, bool text = false,
+//    (libzpaq's "c0,0,999+period" context spec); with `per_isse` each
+//    periodic ICM is refined by an ISSE mixing in the previous byte
+//    (libzpaq chains ISSEs behind its periodic contexts at level 5,
+//    libzpaq.cpp:7654-7686).
+static std::vector<U8> build_model(int sb, int word = 0,
                                    const int* periods = nullptr,
-                                   int nper = 0) {
+                                   int nper = 0, bool per_isse = false) {
     // components
     std::vector<U8> comp;
     int n = 0;
@@ -1176,14 +1181,18 @@ static std::vector<U8> build_model(int sb, bool text = false,
     add({ISSE, sb + 2, 3});           // 4: order 4
     add({ISSE, sb + 3, 4});           // 5: order 5
     add({MATCH, sb + 6, sb + 8});     // 6: long match model
-    const int word_slot = text ? n : -1;
-    if (text) {
-        add({ICM, sb - 2});           // word-context indirect model
-        add({ISSE, sb - 1, n - 1});   // word+prev-byte refinement
+    const int word_slot = word ? n : -1;
+    if (word) {
+        const int wsz = word >= 2 ? sb - 2 : sb - 5;  // text vs binary
+        add({ICM, wsz});              // word-context indirect model
+        add({ISSE, wsz + 1, n - 1});  // word+prev-byte refinement
     }
     const int per_slot = nper > 0 ? n : -1;
-    for (int i = 0; i < nper; i++)
+    for (int i = 0; i < nper; i++) {
         add({ICM, sb - 4});           // byte one period back
+        if (per_isse)
+            add({ISSE, sb - 4, n - 1});  // + previous-byte refinement
+    }
     add({MIX, 16, 0, n, 24, 255});    // final mixer over all above
 
     // HCOMP: ring-store the byte, then hash chains h[1..5] of orders
@@ -1209,7 +1218,7 @@ static std::vector<U8> build_model(int sb, bool text = false,
     a.op(10);        // B--
     a.op(59);        // HASH (order 7)
     a.op(112);       // *D=A -> h[6] for MATCH
-    if (text) {
+    if (word) {
         // H[w] = letter ? hash(H[w], folded byte) : 0; then
         // H[w+1] = hash(H[w], previous byte)
         int skip = a.newlabel(), cont = a.newlabel();
@@ -1234,7 +1243,7 @@ static std::vector<U8> build_model(int sb, bool text = false,
     }
     for (int i = 0; i < nper; i++) {
         int p = periods[i];
-        a.op(95, per_slot + i);  // D= slot
+        a.op(95, per_slot + i * (per_isse ? 2 : 1));  // D= slot
         a.op(66);                // A=C
         while (p > 255) { a.op(143, 255); p -= 255; }  // A-= 255
         a.op(143, p);            // A-= period remainder
@@ -1242,6 +1251,13 @@ static std::vector<U8> build_model(int sb, bool text = false,
         a.op(4);                 // A=0
         a.op(59);                // HASH -> hash of M[c - period]
         a.op(112);               // *D=A
+        if (per_isse) {
+            a.op(25);            // D++ (the chained ISSE slot)
+            a.op(74);            // B=C
+            a.op(10);            // B--  (previous byte)
+            a.op(59);            // HASH (periodic hash + M[c-1])
+            a.op(112);           // *D=A
+        }
     }
     a.op(95, n - 1); // D= mixer slot
     a.op(69);        // A=*C  (current byte)
@@ -1277,7 +1293,10 @@ static std::vector<U8> build_model(int sb, bool text = false,
 // 7694).  Returns the number of periods written to out[2].
 static int find_periods(const U8* p, int64_t n, int out[2]) {
     constexpr int NR = 1 << 12;
-    if (n < 4 * NR) return 0;           // too little data to trust
+    // the reference analyzes every block regardless of size
+    // (libzpaq.cpp:7657-7694); small record-structured blocks still
+    // benefit, so only skip blocks too short for any period to recur
+    if (n < 512) return 0;
     std::vector<int> last(256, 0);
     std::vector<int64_t> gaps(NR, 0);
     for (int64_t i = 0; i < n; i++) {
@@ -1455,8 +1474,13 @@ static int64_t encode_stream(Source& in, Sink& out, int level, int bs,
         int nper = level >= 5
             ? find_periods(in.p + in.pos, n, periods) : 0;
 
-        // assemble model header for this block
-        std::vector<U8> hdr = build_model(sb, text, periods, nper);
+        // assemble model header for this block; level 5 adds a word
+        // model even for binary input (libzpaq's "w1i1",
+        // libzpaq.cpp:7654) and refines each periodic context with a
+        // chained ISSE
+        const int word = text ? 2 : (level >= 5 ? 1 : 0);
+        std::vector<U8> hdr = build_model(sb, word, periods, nper,
+                                          /*per_isse=*/level >= 5);
         // VM wants the full relocated form; reuse read_header
         Source hs{hdr.data(), 0, (int64_t)hdr.size()};
         VM z;

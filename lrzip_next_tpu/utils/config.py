@@ -12,10 +12,10 @@ from typing import Dict, Optional
 
 _KNOWN_KEYS = {
     "window", "unlimited", "compressionlevel", "rziplevel",
-    "compressionmethod", "lz4test", "threshold", "testmaxmemory",
+    "compressionmethod", "lzotest", "lz4test", "threshold",
     "processors", "hash", "hashcheck", "encrypt", "dictionarysize",
     "costfactor", "outputdirectory", "tmpdir", "nice", "showprogress",
-    "verbosity", "deletefiles", "replacefile", "locale",
+    "verbosity", "deletefiles", "replacefile", "locale", "keepbroken",
 }
 
 

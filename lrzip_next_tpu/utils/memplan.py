@@ -67,16 +67,22 @@ class Plan:
 
 def negotiate(method: str, threads: int, dict_size: int, chunk_size: int,
               budget: Optional[int] = None,
-              stream_bufsize: int = 10 << 20) -> Plan:
+              stream_bufsize: int = 10 << 20,
+              zpaq_bs: int = 6, zpaq_level: int = 4,
+              bzip3_block: int = 1 << 26) -> Plan:
     """Reproduce the P7 solver: fit `threads` codec instances in budget.
 
     Sheds threads down to half, then shrinks the LZMA dictionary, then
-    sheds further - same order as src/stream.c:1176-1331.
+    sheds further - same order as src/stream.c:1176-1331.  For zpaq and
+    bzip3 the *configured* block size / level feed the overhead model
+    (the reference plugs control->zpaq_bs / bzip3_bs into
+    setup_overhead, src/util.c:160-173).
     """
     budget = budget if budget is not None else usable_ram()
     if method != "lzma":
-        per = {"zpaq": zpaq_overhead(6, 4),
-               "bzip3": bzip3_overhead(1 << 26)}.get(method, stream_bufsize * 2)
+        per = {"zpaq": zpaq_overhead(zpaq_bs, zpaq_level),
+               "bzip3": bzip3_overhead(bzip3_block)}.get(
+            method, stream_bufsize * 2)
         t = threads
         while t > 1 and per * t > budget:
             t -= 1

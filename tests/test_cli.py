@@ -130,3 +130,65 @@ def test_outfile_dash_is_stdout(sample_file, tmp_path):
         input=r.stdout, capture_output=True, env=env, timeout=120)
     assert r2.returncode == 0, r2.stderr.decode()
     assert r2.stdout == data
+
+
+def test_conf_keys_honored(tmp_path, sample_file, monkeypatch):
+    """outputdirectory/nice/DELETEFILES/REPLACEFILE/verbosity conf keys
+    act on the CLI layer (reference src/util.c:265-451)."""
+    outdir = tmp_path / "outd"
+    outdir.mkdir()
+    conf = {
+        "outputdirectory": str(outdir),
+        "tmpdir": str(tmp_path),
+        "nice": "5",
+        "deletefiles": "YES",
+        "replacefile": "YES",
+        "verbosity": "max",
+        "keepbroken": "yes",
+    }
+    args = cli.build_parser().parse_args(["--no-tpu", str(sample_file)])
+    cli._apply_conf_cli(args, conf)
+    assert args.outdir == str(outdir)
+    assert args.delete and args.force and args.keep_broken
+    assert args.verbose == 2
+    assert args.nice_level == 5
+    # case-sensitivity: lowercase "yes" must NOT enable these two
+    args2 = cli.build_parser().parse_args([str(sample_file)])
+    cli._apply_conf_cli(args2, {"deletefiles": "yes",
+                                "replacefile": "yes"})
+    assert not args2.delete and not args2.force
+
+
+def test_conf_settings_keys(sample_file):
+    """dictionarysize / lzotest / compressionmethod=rzip conf keys feed
+    Settings (reference src/util.c:288-451)."""
+    args = cli.build_parser().parse_args([str(sample_file)])
+    s = cli.settings_from_args(args, conf={
+        "dictionarysize": "20",
+        "lzotest": "no",
+        "compressionmethod": "rzip",
+        "costfactor": "12",
+    })
+    assert s.method == "none"
+    assert not s.lz4_test
+    assert s.dict_size == (2 | (20 & 1)) << (20 // 2 + 11)
+    assert s.costfactor_exp == 12
+
+
+def test_nobemt_plumbed(sample_file):
+    args = cli.build_parser().parse_args(["--nobemt", str(sample_file)])
+    assert cli.settings_from_args(args, conf={}).bemt is False
+    args = cli.build_parser().parse_args([str(sample_file)])
+    assert cli.settings_from_args(args, conf={}).bemt is True
+
+
+def test_check_mode_encrypted(sample_file, capsys):
+    """-c verifies encrypted archives too: the stored hash decrypts
+    with the passphrase (reference src/runzip.c:470-493)."""
+    assert run_cli(["--no-tpu", "-g", "-e", "hunter2",
+                    str(sample_file)]) == 0
+    sample_file.unlink()
+    assert run_cli(["-d", "-c", "-e", "hunter2",
+                    str(sample_file) + ".lrz"]) == 0
+    err = capsys.readouterr().err
+    assert "unreadable" not in err
