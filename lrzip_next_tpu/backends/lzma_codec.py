@@ -8,14 +8,14 @@ block itself.
 Decode uses our from-scratch native decoder (runtime/csrc/lzma.cpp, the
 analog of the SDK's LzmaDec.c + the ASM decoder the reference ships) -
 it stops after u_len bytes so marker-less reference streams decode fine.
-Encode at levels 1-4 uses the native encoder (hash-chain + lazy parse,
-the SDK's algo=0 fast class: LzmaEncProps_Normalize picks fast below
-level 5); levels 5-9 use liblzma's BT4 normal mode for maximum ratio,
-mirroring the reference's own reliance on proven external codecs for
-everything it does not vendor.  liblzma remains the fallback whenever
-the native runtime is unavailable.  Our encoder appends an
-end-of-payload marker (allowed - the reference decodes with
-LZMA_FINISH_ANY and a known output size).
+Encode is native at every level (runtime/csrc/lzma.cpp): levels 1-4 use
+the hash-chain + lazy parse (the SDK's algo=0 fast class:
+LzmaEncProps_Normalize picks fast below level 5), levels 5-9 the BT4
+binary-tree finder + price-table optimal parse (the SDK's GetOptimum
+class, within ~0.1% of liblzma BT4 output size).  liblzma remains the
+fallback only when the native runtime is unavailable (no compiler).
+Our encoder appends an end-of-payload marker (allowed - the reference
+decodes with LZMA_FINISH_ANY and a known output size).
 """
 
 from __future__ import annotations
@@ -55,12 +55,11 @@ def _filters(cfg: BackendConfig, data_len: int, for_decode: bool = False):
 
 def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
     level = min(max(cfg.compression_level, 1), 9)
-    if level < 5:
-        from .. import runtime
-        if runtime.available():
-            return runtime.lzma1_encode(
-                data, level=level, dict_size=_dict_size(cfg, len(data)),
-                lc=LZMA_LC, lp=LZMA_LP, pb=LZMA_PB)
+    from .. import runtime
+    if runtime.available():
+        return runtime.lzma1_encode(
+            data, level=level, dict_size=_dict_size(cfg, len(data)),
+            lc=LZMA_LC, lp=LZMA_LP, pb=LZMA_PB)
     comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW,
                                filters=_filters(cfg, len(data)))
     return comp.compress(data) + comp.flush()

@@ -117,3 +117,51 @@ def test_backend_uses_native(corpus_factory):
         c = compress(data, cfg)
         assert decompress(c, len(data), cfg) == data
         assert _lib_dec(c, len(data)) == data  # liblzma-compatible
+
+
+def test_optimal_parse_levels_5_to_9(corpus_factory):
+    """Normal mode (BT4 + price-table optimal parse): three-way
+    validation and ratio parity with liblzma's BT4 at every level
+    (reference vendored path: LzmaEnc.c:1219-1968 GetOptimum +
+    LzFind.c:962-1400 BT4)."""
+    corp = {
+        "text": corpus_factory(200_000, "text"),
+        "mixed": corpus_factory(120_000, "mixed"),
+        "random": corpus_factory(50_000, "random"),
+        "zeros": bytes(80_000),
+        "periodic": (b"hdr" + bytes(range(97))) * 800,
+    }
+    for level in (5, 6, 7, 8, 9):
+        for name, data in corp.items():
+            ours = runtime.lzma1_encode(data, level=level)
+            assert ours is not None or name == "random"
+            if ours is None:
+                continue
+            assert runtime.lzma1_decode(ours, len(data)) == data, \
+                (level, name)
+            assert _lib_dec(ours, len(data)) == data, (level, name)
+    # ratio parity vs liblzma BT4 normal mode at the default level
+    data = corp["text"] + corp["mixed"] + corp["periodic"]
+    ours = runtime.lzma1_encode(data, level=7)
+    c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[
+        dict(FILT[0], mode=lzma.MODE_NORMAL, mf=lzma.MF_BT4,
+             nice_len=64)])
+    ref = c.compress(data) + c.flush()
+    assert len(ours) <= len(ref) * 1.01, (len(ours), len(ref))
+
+
+def test_optimal_parse_rep_heavy():
+    """Structured data exercising rep0-3 reuse and shortreps."""
+    rows = []
+    for i in range(4000):
+        rows.append(b"field=%04d;flag=%d;" % (i, i & 1))
+    data = b"".join(rows)
+    for level in (5, 9):
+        ours = runtime.lzma1_encode(data, level=level)
+        assert runtime.lzma1_decode(ours, len(data)) == data
+        assert _lib_dec(ours, len(data)) == data
+    # the composite move+literal+rep0 DP transition keeps the
+    # rep-establishing path alive on periodic data; without it this
+    # adversarial case was +25% over liblzma
+    ref = _lib_enc(data)
+    assert len(runtime.lzma1_encode(data, level=9)) <= len(ref) * 1.02
