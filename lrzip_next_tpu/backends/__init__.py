@@ -120,5 +120,6 @@ from . import zstd_codec  # noqa: E402,F401
 from . import lzo_codec  # noqa: E402,F401
 from . import zpaq_codec  # noqa: E402,F401
 from . import bzip3_codec  # noqa: E402,F401
+from . import rans_codec  # noqa: E402,F401
 
 _NAME_TO_CTYPE.setdefault("none", C.CTYPE_NONE)

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                    const="zpaq")
     g.add_argument("-Z", "--zstd", action="store_const", dest="method",
                    const="zstd")
+    g.add_argument("--rans", action="store_const", dest="method",
+                   const="rans",
+                   help="TPU-native interleaved-rANS backend (framework "
+                        "extension; archives need this tool to decode)")
     g.add_argument("-L", "--level", type=int, default=None, metavar="#",
                    help="compression level 1-9 (default 7)")
     g.add_argument("--fast", action="store_const", dest="level_alias",

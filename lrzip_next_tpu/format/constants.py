@@ -40,6 +40,11 @@ CTYPE_GZIP = 7
 CTYPE_ZPAQ = 8
 CTYPE_BZIP3 = 9
 CTYPE_ZSTD = 10
+# Framework extension (no reference equivalent): the TPU-resident
+# interleaved-rANS block codec (ops/rans.py, runtime/csrc/rans.cpp).
+# Reference CTYPEs stop at 10 (src/include/lrzip_private.h:287-294);
+# archives using it are decodable by this framework only.
+CTYPE_RANS = 11
 
 CTYPE_NAMES = {
     CTYPE_NONE: "none",
@@ -50,6 +55,7 @@ CTYPE_NAMES = {
     CTYPE_ZPAQ: "zpaq",
     CTYPE_BZIP3: "bzip3",
     CTYPE_ZSTD: "zstd",
+    CTYPE_RANS: "rans",
 }
 
 # Method codes stored in magic byte 17 (v0.11+): 0=none/other, 1=lzma,

@@ -513,7 +513,8 @@ class TpuMatchJob:
     overlaps device compute with host packaging/backends.
     """
 
-    def __init__(self, data: np.ndarray, stride: int = 1):
+    def __init__(self, data: np.ndarray, stride: int = 1,
+                 dev: "jnp.ndarray | None" = None):
         data = np.asarray(data, dtype=np.uint8)
         self.data = data
         self.stride = stride
@@ -523,12 +524,16 @@ class TpuMatchJob:
         if self.trivial:
             return
         nb = _bucket_size(self.n)
-        if nb != self.n:
+        if dev is not None:
+            # caller holds the chunk in HBM already (device-resident
+            # pipeline); it must be padded to the bucketed length
+            assert dev.shape[0] == nb, (dev.shape, nb)
+        elif nb != self.n:
             padded = np.zeros(nb, dtype=np.uint8)
             padded[:self.n] = data
+            dev = jnp.asarray(padded)
         else:
-            padded = data
-        dev = jnp.asarray(padded)
+            dev = jnp.asarray(data)
         m = padded.shape[0] - HASH_W + 1
         self.limit = self.n - HASH_W + 1
         self.m = m

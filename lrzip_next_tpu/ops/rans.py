@@ -1,0 +1,541 @@
+"""Device interleaved-rANS entropy backend: the TPU-resident block codec.
+
+The reference's backend codecs all run their entropy-coding loops in
+serial native code (LZMA range coder src/lzma/C/LzmaEnc.c:631-786, zpaq
+arithmetic coder src/lib/libzpaq; dispatch roles src/stream.c:167-554).
+This module is the TPU-first re-expression of that role: a block codec
+whose encode AND decode are JAX array programs, so the full
+matcher -> filter -> backend pipeline stays device-resident.
+
+Design (no gathers, no scatters, no data-dependent shapes on device):
+
+- **Lane interleaving** - the block is split into K contiguous spans,
+  one per SIMD lane; K rANS states advance in lockstep over span
+  position ``t`` inside one ``lax.scan``.  Each lane's context is its
+  own previous byte, so decode has no cross-lane dependency inside a
+  step.
+- **MXU table fetch** - per-symbol (freq, cumfreq) lookups are one-hot
+  matmuls against the (C_CTX, 256) model tables, split into exact
+  hi/lo-byte bf16 halves (one-hot rows select a single entry, so f32
+  accumulation is exact).  Replaces the per-byte table gathers every
+  CPU/GPU entropy coder does - gathers cost ~40ns/element on TPU.
+- **Oblivious stream layout** - the wire stream is laid out in decoder
+  read order (step-major, lane-minor).  Encode runs the scan in
+  reverse (``lax.scan(reverse=True)``, standard rANS back-to-front)
+  emitting at most one u16 per lane per step; a single stream
+  compaction packs the sparse emissions.  Decode reads a K-sized
+  dynamic slice per step and routes words to renormalizing lanes with
+  a log-shift expand (distances are monotone, so bit-serial routing is
+  congestion-free - same idea as ops/compact_pallas.py).
+- **Division-free hot path** - decode needs no division (rANS
+  property); encode's ``x // f`` is two exact float32 divisions of
+  <2^24 operands plus a +-1 fixup.
+
+Coder parameters: 12-bit quantized frequencies (M=4096), 32-bit
+states in [2^16, 2^32), 16-bit renormalization => exactly 0 or 1 word
+emitted per symbol.  Context models: ctx_bits in {0, 4, 6, 8} maps a
+lane's previous byte to 2^ctx_bits contexts (order-0 .. order-1).
+
+The bitstream (CTYPE_RANS=11) is a framework extension - the reference
+binary has no equivalent codec.  runtime/csrc/rans.cpp implements the
+same format for host-only encode/decode and cross-validation.
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+import zlib
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+M_BITS = 12
+M = 1 << M_BITS               # frequency quantization total per context
+L = jnp.uint32(1 << 16)       # state lower bound; x in [2^16, 2^32)
+MAGIC = 1                     # payload version byte
+
+_SAMPLE_TARGET = 1 << 20      # histogram sample size (elements)
+_HIST_CHUNK = 1 << 17
+
+
+def pick_lanes(n: int) -> int:
+    """Lane count: K doubles until spans shrink to ~2048 symbols, capped
+    at 16384 (the per-block header stores K 4-byte states)."""
+    k = 64
+    while k < 16384 and k * 2048 <= n:
+        k *= 2
+    return k
+
+
+def _bucket(n: int, k: int) -> int:
+    """Pad block length to coarse buckets (multiples of K) to keep jit
+    caches warm across block sizes."""
+    step = max(k, 1 << 16)
+    if n > (1 << 22):
+        step = max(k, 1 << 21)
+    return ((n + step - 1) // step) * step
+
+
+# ---------------------------------------------------------------------------
+# model tables
+
+
+@functools.partial(jax.jit, static_argnames=("ctx_bits", "srate"))
+def joint_histogram(s8: jnp.ndarray, ctxq: jnp.ndarray, n: jnp.ndarray,
+                    ctx_bits: int, srate: int) -> jnp.ndarray:
+    """Sampled (context, symbol) joint counts via chunked one-hot bf16
+    matmuls (exact: products are 0/1, partial sums < 2^24).
+
+    s8, ctxq: (T, K) uint8 symbol / quantized-context planes.
+    Samples every ``srate``-th row.  Returns (2^ctx_bits, 256) int32.
+    """
+    t, k = s8.shape
+    c = 1 << ctx_bits
+    rows = s8[::srate].astype(jnp.int32)
+    crows = ctxq[::srate].astype(jnp.int32)
+    r = rows.shape[0]
+    # validity of sampled positions: lane kk at row (i*srate) is real
+    # when kk*T + i*srate < n
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, k), 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (r, k), 0) * srate
+    valid = (lane * t + ridx) < n
+
+    sym_f = rows.reshape(-1)
+    ctx_f = crows.reshape(-1)
+    val_f = valid.reshape(-1)
+    total = sym_f.shape[0]
+    chunk = min(_HIST_CHUNK, total)
+    pad = (-total) % chunk
+    if pad:
+        sym_f = jnp.concatenate([sym_f, jnp.zeros((pad,), jnp.int32)])
+        ctx_f = jnp.concatenate([ctx_f, jnp.zeros((pad,), jnp.int32)])
+        val_f = jnp.concatenate([val_f, jnp.zeros((pad,), bool)])
+    nch = sym_f.shape[0] // chunk
+    sym_f = sym_f.reshape(nch, chunk)
+    ctx_f = ctx_f.reshape(nch, chunk)
+    val_f = val_f.reshape(nch, chunk)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+
+    def body(i, acc):
+        s = sym_f[i]
+        cx = ctx_f[i]
+        v = val_f[i]
+        oh_ctx = ((cx[None, :] == iota_c) & v[None, :]).astype(jnp.bfloat16)
+        oh_sym = (s[:, None] == iota_s).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            oh_ctx, oh_sym, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc + part.astype(jnp.int32)
+
+    counts = jax.lax.fori_loop(
+        0, nch, body, jnp.zeros((c, 256), jnp.int32))
+    return counts
+
+
+@jax.jit
+def quantize_freqs(counts: jnp.ndarray) -> jnp.ndarray:
+    """Normalize raw counts to frequencies summing to M per context,
+    every symbol >= 1 (sampled histograms may miss symbols that do
+    occur).  floor-then-remainder-to-argmax: sum never exceeds M, the
+    deficit goes to the most frequent symbol.  Deterministic; the
+    resulting table is stored in the payload, so encoder variants
+    (device sampled vs host exact counts) interoperate by construction.
+    """
+    c = counts.shape[0]
+    total = counts.sum(-1, keepdims=True)
+    # keep cnt*(M-256) inside int32: sampled totals are <= 2^22
+    sh = jnp.where(total > (1 << 18), 4, 0)
+    c2 = counts >> sh
+    t2 = jnp.maximum(c2.sum(-1, keepdims=True), 1)
+    f = 1 + c2 * (M - 256) // t2
+    diff = M - f.sum(-1)
+    am = jnp.argmax(c2, axis=-1)
+    f = f.at[jnp.arange(c), am].add(diff)
+    return f
+
+
+def _cumfreqs(freqs: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cumsum(freqs, axis=-1) - freqs
+
+
+# ---------------------------------------------------------------------------
+# shared scan helpers
+
+
+def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+    return jnp.concatenate([jnp.full((s,), fill, x.dtype), x[:-s]])
+
+
+def _shift_left(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+    return jnp.concatenate([x[s:], jnp.full((s,), fill, x.dtype)])
+
+
+def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum of a flat int32 vector by log-shifted adds."""
+    k = x.shape[0]
+    s = 1
+    while s < k:
+        x = x + _shift_right(x, s, 0)
+        s <<= 1
+    return x
+
+
+def _route_right(vals: jnp.ndarray, dist: jnp.ndarray,
+                 occ: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Move vals[i] right by dist[i] (monotone over occupied slots).
+
+    Bits run MSB-first: rightward expansion is the time-reversal of
+    LSB-first leftward compaction (same configurations in reverse
+    order), which makes the bit-serial routing congestion-free; the
+    LSB-first order that compaction uses is NOT safe rightward."""
+    v, d, m = vals, dist, occ.astype(jnp.int32)
+    for b in reversed(range(nbits)):
+        s = 1 << b
+        rv = _shift_right(v, s, 0)
+        rd = _shift_right(d, s, 0)
+        rm = _shift_right(m, s, 0)
+        take = (rm > 0) & (((rd >> b) & 1) > 0)
+        moving = (m > 0) & (((d >> b) & 1) > 0)
+        m = jnp.where(take, 1, jnp.where(moving, 0, m))
+        d = jnp.where(take, rd - s, d)
+        v = jnp.where(take, rv, v)
+    return v
+
+
+def _route_left(vals: jnp.ndarray, dist: jnp.ndarray,
+                occ: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    v, d, m = vals, dist, occ.astype(jnp.int32)
+    for b in range(nbits):
+        s = 1 << b
+        lv = _shift_left(v, s, 0)
+        ld = _shift_left(d, s, 0)
+        lm = _shift_left(m, s, 0)
+        take = (lm > 0) & (((ld >> b) & 1) > 0)
+        moving = (m > 0) & (((d >> b) & 1) > 0)
+        m = jnp.where(take, 1, jnp.where(moving, 0, m))
+        d = jnp.where(take, ld - s, d)
+        v = jnp.where(take, lv, v)
+    return v
+
+
+def _expand_to_flags(window: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """window[j] -> j-th flagged lane (log-shift expand, no gathers).
+
+    window: (K,) int32 candidate words (first count(e) are real);
+    e: (K,) bool renormalization flags.  Returns (K,) int32 with the
+    routed word at every flagged lane.
+    """
+    k = window.shape[0]
+    nbits = max(int(k - 1).bit_length(), 1)
+    ei = e.astype(jnp.int32)
+    cnt = jnp.sum(ei)
+    idx = jax.lax.iota(jnp.int32, k)
+    # tgt[j] = lane index of the j-th flag: compact flagged lane indices
+    rank = _cumsum_i32(ei) - ei          # exclusive prefix over lanes
+    dist_l = jnp.where(e, idx - rank, 0)
+    tgt = _route_left(idx, dist_l, e, nbits)
+    j_ok = idx < cnt
+    dist_r = jnp.where(j_ok, tgt - idx, 0)
+    return _route_right(window, dist_r, j_ok, nbits)
+
+
+def _div_exact(a: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """floor(a / f) for 0 <= a < 2^24, 1 <= f <= 2^12 (int32), via one
+    exact-operand f32 division plus a +-1 fixup."""
+    z = jnp.floor(a.astype(jnp.float32) / f.astype(jnp.float32))
+    q = z.astype(jnp.int32)
+    r = a - q * f
+    q = q + (r >= f).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q
+
+
+def _fetch_rows(ctxq: jnp.ndarray, rhs_bf16: jnp.ndarray,
+                c_ctx: int) -> jnp.ndarray:
+    """Per-lane model-table rows via an exact one-hot bf16 matmul.
+
+    ctxq: (K,) int32 contexts; rhs_bf16: (C_CTX, 2*W) hi/lo-byte split
+    table.  Returns (K, W) f32 recombined values (hi*256 + lo)."""
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c_ctx), 1)
+    oh = (ctxq[:, None] == iota_c).astype(jnp.bfloat16)
+    row = jax.lax.dot_general(
+        oh, rhs_bf16, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    w = rhs_bf16.shape[1] // 2
+    return row[:, :w] * 256.0 + row[:, w:]
+
+
+def _split_hi_lo(tab: jnp.ndarray) -> jnp.ndarray:
+    """(C, W) int32 (< 2^16) -> (C, 2W) bf16 [hi bytes | lo bytes]."""
+    hi = (tab >> 8).astype(jnp.bfloat16)
+    lo = (tab & 0xFF).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+@functools.partial(jax.jit, static_argnames=("ctx_bits",))
+def _encode_scan(s8: jnp.ndarray, ctxq: jnp.ndarray, n: jnp.ndarray,
+                 freqs: jnp.ndarray, ctx_bits: int):
+    """Reverse scan over span positions; returns per-position emission
+    planes (decoder read order) and final states (= decoder init).
+
+    s8/ctxq: (T, K) uint8; freqs: (C, 256) int32 summing to M per row.
+    Returns (states (K,) u32, words (T, K) u16, flags (T, K) bool).
+    """
+    t_len, k = s8.shape
+    c_ctx = 1 << ctx_bits
+    cum = _cumfreqs(freqs)
+    fc = _split_hi_lo(jnp.concatenate([freqs, cum], axis=1))  # (C, 1024)
+    f0 = freqs[0].astype(jnp.float32)
+    c0 = cum[0].astype(jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    lane = jax.lax.iota(jnp.int32, k)
+
+    def step(x, inp):
+        sym, cq, t = inp
+        sym = sym.astype(jnp.int32)
+        valid = (lane * t_len + t) < n
+        oh_sym = (sym[:, None] == iota_s).astype(jnp.float32)
+        if c_ctx == 1:
+            f = jnp.sum(oh_sym * f0[None, :], axis=1).astype(jnp.int32)
+            cs = jnp.sum(oh_sym * c0[None, :], axis=1).astype(jnp.int32)
+        else:
+            rows = _fetch_rows(cq.astype(jnp.int32), fc, c_ctx)  # (K, 512)
+            f = jnp.sum(rows[:, :256] * oh_sym, axis=1).astype(jnp.int32)
+            cs = jnp.sum(rows[:, 256:] * oh_sym, axis=1).astype(jnp.int32)
+        f_u = f.astype(jnp.uint32)
+        e = valid & (x >= (f_u << 20))
+        w = jnp.where(e, x & 0xFFFF, 0).astype(jnp.uint16)
+        x1 = jnp.where(e, x >> 16, x)
+        # q = x1 // f, r = x1 % f  (x1 < f * 2^20)
+        xh = (x1 >> M_BITS).astype(jnp.int32)          # < 2^20
+        xl = (x1 & (M - 1)).astype(jnp.int32)
+        q1 = _div_exact(xh, f)
+        r1 = xh - q1 * f
+        y = (r1 << M_BITS) | xl                        # < 2^24
+        q0 = _div_exact(y, f)
+        r = y - q0 * f
+        q = q1.astype(jnp.uint32) * jnp.uint32(M) + q0.astype(jnp.uint32)
+        x2 = q * jnp.uint32(M) + (cs + r).astype(jnp.uint32)
+        x_new = jnp.where(valid, x2, x1)
+        return x_new, (w, e)
+
+    t_iota = jax.lax.iota(jnp.int32, t_len)
+    init = jnp.full((k,), L, jnp.uint32)
+    states, (words, flags) = jax.lax.scan(
+        step, init, (s8, ctxq, t_iota), reverse=True)
+    return states, words, flags
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _pack_words_xla(words: jnp.ndarray, flags: jnp.ndarray, cap: int):
+    """XLA stream compaction fallback (CPU meshes / tests): scatter
+    flagged words to their ranks."""
+    w = words.reshape(-1).astype(jnp.uint16)
+    e = flags.reshape(-1)
+    ranks = jnp.cumsum(e.astype(jnp.int32)) - 1
+    tgt = jnp.where(e, ranks, cap)
+    packed = jnp.zeros((cap,), jnp.uint16).at[tgt].set(w, mode="drop")
+    return packed, jnp.sum(e.astype(jnp.int32))
+
+
+def _pack_words_impl():
+    if jax.devices()[0].platform != "cpu":
+        from .streampack import pack_stream_pallas
+        return pack_stream_pallas
+    return _pack_words_xla
+
+
+def _plan(data_dev: jnp.ndarray, n: int, ctx_bits: int):
+    """(T, K) symbol/context planes for a device-resident block."""
+    k = pick_lanes(n)
+    nb = _bucket(n, k)
+    t_len = nb // k
+    pad = nb - data_dev.shape[0]
+    if pad > 0:
+        data_dev = jnp.concatenate(
+            [data_dev, jnp.zeros((pad,), jnp.uint8)])
+    elif pad < 0:
+        data_dev = data_dev[:nb]
+    s8 = data_dev.reshape(k, t_len).T
+    prev = jnp.concatenate([jnp.zeros((1, k), jnp.uint8), s8[:-1]], axis=0)
+    ctxq = (prev >> (8 - ctx_bits)) if ctx_bits else jnp.zeros_like(prev)
+    return s8, ctxq, k, t_len
+
+
+def encode_arrays(data_dev: jnp.ndarray, n: int, ctx_bits: int = 6):
+    """Device-resident encode: returns (freqs, states, packed, n_words)
+    as device arrays (packed is TK-capped; first n_words entries real).
+    """
+    s8, ctxq, k, t_len = _plan(data_dev, n, ctx_bits)
+    srate = max(1, (t_len * k) // _SAMPLE_TARGET)
+    counts = joint_histogram(s8, ctxq, jnp.int32(n), ctx_bits, srate)
+    freqs = quantize_freqs(counts)
+    states, words, flags = _encode_scan(
+        s8, ctxq, jnp.int32(n), freqs, ctx_bits)
+    packed, n_words = _pack_words_impl()(words, flags, t_len * k)
+    return freqs, states, packed, n_words, t_len
+
+
+def _pack_table(freqs: np.ndarray) -> bytes:
+    """12-bit pack + zlib of the (C, 256) frequency table."""
+    f = freqs.reshape(-1).astype(np.uint32)
+    a, b = f[0::2], f[1::2]
+    tri = np.empty((f.size // 2, 3), np.uint8)
+    tri[:, 0] = a & 0xFF
+    tri[:, 1] = ((a >> 8) & 0x0F) | ((b & 0x0F) << 4)
+    tri[:, 2] = b >> 4
+    return zlib.compress(tri.tobytes(), 6)
+
+
+def _unpack_table(blob: bytes, c_ctx: int) -> np.ndarray:
+    tri = np.frombuffer(zlib.decompress(blob), np.uint8).reshape(-1, 3)
+    a = tri[:, 0].astype(np.uint32) | ((tri[:, 1] & 0x0F).astype(
+        np.uint32) << 8)
+    b = (tri[:, 1] >> 4).astype(np.uint32) | (tri[:, 2].astype(
+        np.uint32) << 4)
+    f = np.empty(tri.shape[0] * 2, np.int32)
+    f[0::2] = a
+    f[1::2] = b
+    return f.reshape(c_ctx, 256)
+
+
+_HDR = struct.Struct("<BBBBQIII")
+
+
+def assemble_payload(freqs_h: np.ndarray, states_h: np.ndarray,
+                     words_h: np.ndarray, n: int, ctx_bits: int,
+                     t_len: int) -> bytes:
+    """Build the wire payload from host copies of the coder outputs."""
+    k = states_h.shape[0]
+    table = _pack_table(freqs_h)
+    hdr = _HDR.pack(MAGIC, ctx_bits, k.bit_length() - 1, 0, n,
+                    words_h.shape[0], len(table), t_len)
+    return b"".join([hdr, table, states_h.astype("<u4").tobytes(),
+                     words_h.astype("<u2").tobytes()])
+
+
+def encode_block(data, ctx_bits: int = 6) -> bytes:
+    """Host-facing device encode: bytes in, payload bytes out."""
+    arr = np.frombuffer(data, np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)) else np.asarray(
+            data, np.uint8)
+    n = arr.shape[0]
+    if n == 0:
+        return _HDR.pack(MAGIC, 0, 6, 0, 0, 0, 0, 0)
+    freqs, states, packed, n_words, t_len = encode_arrays(
+        jnp.asarray(arr), n, ctx_bits)
+    nw = int(n_words)
+    freqs_h = np.asarray(jax.device_get(freqs))
+    states_h = np.asarray(jax.device_get(states))
+    words_h = np.asarray(jax.device_get(packed))[:nw]
+    return assemble_payload(freqs_h, states_h, words_h, n, ctx_bits,
+                            t_len)
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+@functools.partial(jax.jit, static_argnames=("ctx_bits", "t_len"))
+def _decode_scan(stream_pad: jnp.ndarray, states: jnp.ndarray,
+                 freqs: jnp.ndarray, n: jnp.ndarray, ctx_bits: int,
+                 t_len: int):
+    """Forward scan: decodes (T, K) symbol plane from the word stream.
+
+    stream_pad: (n_words + K,) int32 words; states: (K,) uint32.
+    Returns (syms (T, K) uint8, final_states (K,) uint32) - final
+    states must all equal L for an intact stream.
+    """
+    k = states.shape[0]
+    c_ctx = 1 << ctx_bits
+    cum = _cumfreqs(freqs)
+    cum_bf = _split_hi_lo(cum)
+    cum0 = cum[0].astype(jnp.int32)
+    lane = jax.lax.iota(jnp.int32, k)
+
+    def step(carry, t):
+        x, cq, ptr = carry
+        valid = (lane * t_len + t) < n
+        if c_ctx == 1:
+            crow = jnp.broadcast_to(cum0[None, :], (k, 256))
+        else:
+            crow = _fetch_rows(cq, cum_bf, c_ctx).astype(jnp.int32)
+        slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
+        le = crow <= slot[:, None]
+        cs = jnp.max(jnp.where(le, crow, 0), axis=1)
+        nxt = jnp.min(jnp.where(le, M, crow), axis=1)
+        f = nxt - cs
+        s = jnp.sum(le.astype(jnp.int32), axis=1) - 1
+        x2 = f.astype(jnp.uint32) * (x >> M_BITS) \
+            + (slot - cs).astype(jnp.uint32)
+        e = valid & (x2 < L)
+        window = jax.lax.dynamic_slice(
+            stream_pad, (ptr,), (k,)).astype(jnp.int32)
+        wv = _expand_to_flags(window, e)
+        x3 = jnp.where(e, (x2 << 16) | wv.astype(jnp.uint32), x2)
+        x_new = jnp.where(valid, x3, x)
+        cq_new = jnp.where(valid, s >> (8 - ctx_bits), cq) \
+            if ctx_bits else cq
+        ptr_new = ptr + jnp.sum(e.astype(jnp.int32))
+        sym = jnp.where(valid, s, 0).astype(jnp.uint8)
+        return (x_new, cq_new, ptr_new), sym
+
+    t_iota = jax.lax.iota(jnp.int32, t_len)
+    init = (states, jnp.zeros((k,), jnp.int32), jnp.int32(0))
+    (xf, _, _), syms = jax.lax.scan(step, init, t_iota)
+    return syms, xf
+
+
+def decode_arrays(stream_dev: jnp.ndarray, states_dev: jnp.ndarray,
+                  freqs_dev: jnp.ndarray, n: int, ctx_bits: int,
+                  k: int, t_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-resident decode -> ((K*T,) uint8 plane, final states).
+    Caller slices [:n] after transpose is undone (done here)."""
+    pad = t_len * k + k - stream_dev.shape[0]
+    if pad > 0:
+        stream_dev = jnp.concatenate(
+            [stream_dev.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)])
+    syms, xf = _decode_scan(stream_dev.astype(jnp.int32), states_dev,
+                            freqs_dev, jnp.int32(n), ctx_bits, t_len)
+    return syms.T.reshape(-1), xf
+
+
+def decode_block(payload: bytes) -> bytes:
+    if len(payload) < _HDR.size:
+        raise ValueError("rans payload truncated")
+    magic, ctx_bits, klog, _, n, nw, tlen, t_len = _HDR.unpack_from(
+        payload, 0)
+    if magic != MAGIC or ctx_bits not in (0, 4, 6, 8) or klog > 14:
+        raise ValueError("bad rans payload header")
+    if n == 0:
+        return b""
+    k = 1 << klog
+    if t_len * k < n or t_len > (1 << 26):
+        raise ValueError("bad rans payload span length")
+    off = _HDR.size
+    table = payload[off:off + tlen]
+    off += tlen
+    freqs = _unpack_table(table, 1 << ctx_bits)
+    if (freqs.sum(axis=1) != M).any() or (freqs < 1).any():
+        raise ValueError("corrupt rans frequency table")
+    states = np.frombuffer(payload[off:off + 4 * k], "<u4")
+    off += 4 * k
+    if states.shape[0] != k:
+        raise ValueError("rans payload truncated (states)")
+    words = np.frombuffer(payload[off:off + 2 * nw], "<u2")
+    if words.shape[0] != nw:
+        raise ValueError("rans payload truncated (words)")
+    plane, xf = decode_arrays(
+        jnp.asarray(words.astype(np.int32)), jnp.asarray(states),
+        jnp.asarray(freqs.astype(np.int32)), n, ctx_bits, k, t_len)
+    out = np.asarray(jax.device_get(plane))[:n]
+    if not bool(jnp.all(xf == L)):
+        raise ValueError("corrupt rans stream (final state check)")
+    return out.tobytes()

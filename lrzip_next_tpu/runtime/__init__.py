@@ -19,7 +19,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "csrc", "hostops.cpp"),
          os.path.join(_HERE, "csrc", "zpaq.cpp"),
          os.path.join(_HERE, "csrc", "bwt.cpp"),
-         os.path.join(_HERE, "csrc", "lzma.cpp")]
+         os.path.join(_HERE, "csrc", "lzma.cpp"),
+         os.path.join(_HERE, "csrc", "rans.cpp")]
 _SO = os.path.join(_HERE, "_hostops.so")
 
 _lib = None
@@ -40,7 +41,7 @@ def _load() -> Optional[ctypes.CDLL]:
             try:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", *_SRCS, "-o", _SO + ".tmp"],
+                     "-std=c++17", *_SRCS, "-o", _SO + ".tmp", "-lz"],
                     check=True, capture_output=True, timeout=240)
                 os.replace(_SO + ".tmp", _SO)
             except (subprocess.SubprocessError, OSError):
@@ -95,6 +96,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_uint32, ci, ci, ci]
         lib.lzma1_decode.restype = i64
         lib.lzma1_decode.argtypes = [u8p, i64, u8p, i64, ci, ci, ci]
+        lib.rans_encode.restype = i64
+        lib.rans_encode.argtypes = [u8p, i64, ci, u8p, i64]
+        lib.rans_decode.restype = i64
+        lib.rans_decode.argtypes = [u8p, i64, u8p, i64]
         _lib = lib
         return _lib
 
@@ -363,3 +368,32 @@ def parse_token_stream(stream0: np.ndarray, chunk_bytes: int):
         raise ValueError("corrupt rzip token stream (native parse)")
     return (kinds[:t].copy(), lens[:t].copy(), dists[:t].copy(),
             int(crc.value), int(consumed.value))
+
+
+def rans_encode(data: bytes, ctx_bits: int = 6) -> Optional[bytes]:
+    """Native interleaved-rANS block encode (runtime/csrc/rans.cpp),
+    bitstream-compatible with the device codec (ops/rans.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + len(data) // 4 + (1 << 17)
+    out = np.empty(cap, dtype=np.uint8)
+    ret = lib.rans_encode(_u8p(src), len(data), ctx_bits, _u8p(out), cap)
+    if ret < 0:
+        return None
+    return out[:ret].tobytes()
+
+
+def rans_decode(payload: bytes, u_len: int) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(max(u_len, 1), dtype=np.uint8)
+    ret = lib.rans_decode(_u8p(src), len(payload), _u8p(out), u_len)
+    if ret < 0:
+        raise ValueError("corrupt rans block (native decode)")
+    if ret != u_len:
+        raise ValueError(f"rans decoded {ret} bytes, expected {u_len}")
+    return out[:u_len].tobytes()
