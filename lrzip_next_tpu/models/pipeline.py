@@ -255,7 +255,7 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
         xindex = CrossChunkIndex()
         w_override = C.chunk_byte_width(total)
 
-    def finish_chunk(ci, p0, csize, chunk, tokens):
+    def finish_chunk(ci, p0, csize, chunk, tokens, dev_job=None):
         nonlocal written
         if xindex is not None:
             from .crosschunk import find_cross_matches, \
@@ -267,7 +267,8 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
         eof = ci == len(bounds) - 1
         written += _compress_chunk(out, chunk, eof, ctype, cfg,
                                    settings, pool, lambda _c: tokens,
-                                   crypto, w_override=w_override)
+                                   crypto, w_override=w_override,
+                                   dev_job=dev_job)
         if hasher is not None:
             hasher.update(chunk)
         if settings.progress:
@@ -297,7 +298,7 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
                 tokens = job.collect()
                 if settings.stats_sink is not None:
                     settings.stats_sink(dict(job.stats, chunk=ci))
-                finish_chunk(ci, p0, csize, chunk, tokens)
+                finish_chunk(ci, p0, csize, chunk, tokens, dev_job=job)
         else:
             for ci, (p0, csize) in enumerate(bounds):
                 chunk = np.asarray(data[p0:p0 + csize])
@@ -319,7 +320,8 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
 def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
                     cfg: BackendConfig, settings: Settings,
                     pool: ThreadPoolExecutor, encode_tokens,
-                    crypto=None, w_override: Optional[int] = None) -> int:
+                    crypto=None, w_override: Optional[int] = None,
+                    dev_job=None) -> int:
     csize = len(chunk)
     w = w_override or C.chunk_byte_width(max(csize, 1))
     kinds, lengths, dists = encode_tokens(chunk)
@@ -327,7 +329,35 @@ def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
     crc = zlib.crc32(chunk) & 0xFFFFFFFF
     stream0 = encode_token_stream(kinds, lengths, dists, w,
                                   stored_crc_int(crc))
-    stream1 = rzip_host.literals_of(chunk, kinds, lengths)
+
+    # Device-resident literal backend: with the rans codec and no
+    # filter, the literal stream never comes to the host - it is
+    # extracted by mask-compaction from the chunk already in HBM and
+    # rANS-encoded there (models/device_path.py); only the compressed
+    # payload is read back.
+    lit_block = None
+    if (dev_job is not None and ctype == C.CTYPE_RANS
+            and not settings.filter_flag
+            and getattr(dev_job, "dev", None) is not None):
+        from .device_path import DeviceLiteralEncode
+        from ..backends.rans_codec import ctx_bits_for_level
+        enc = DeviceLiteralEncode(dev_job.dev, kinds, lengths,
+                                  ctx_bits_for_level(
+                                      settings.compression_level))
+        payload = enc.payload()
+        if payload is not None and len(payload) < enc.n_lit:
+            lit_block = Block(streamno=1, c_type=C.CTYPE_RANS,
+                              c_len=len(payload), u_len=enc.n_lit,
+                              payload=payload)
+        elif payload is not None:
+            raw = rzip_host.literals_of(chunk, kinds, lengths).tobytes()
+            lit_block = Block(streamno=1, c_type=C.CTYPE_NONE,
+                              c_len=len(raw), u_len=len(raw), payload=raw)
+        # n_lit == 0: no literal block at all (lit_block stays None and
+        # stream1 below is empty anyway)
+
+    stream1 = np.zeros(0, np.uint8) if lit_block is not None \
+        else rzip_host.literals_of(chunk, kinds, lengths)
 
     gate = _lz4_gate(settings)
     jobs = []
@@ -350,6 +380,8 @@ def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
                      u_len=len(raw), payload=payload)
 
     blocks = list(pool.map(compress_one, jobs))
+    if lit_block is not None:
+        blocks.append(lit_block)
     return write_chunk(out, w, eof, csize, blocks, crypto=crypto)
 
 
@@ -374,13 +406,25 @@ class _ChunkDecodeJob:
 
     def __init__(self, fd: BinaryIO, hdr, magic: MagicHeader,
                  cfg: BackendConfig, pool: ThreadPoolExecutor,
-                 crypto=None):
+                 crypto=None, use_device: bool = False):
         self.hdr = hdr
         reader = ChunkReader(fd, hdr, crypto=crypto)
         refs0 = list(reader.blocks(0))
         refs1 = list(reader.blocks(1))
         payloads = {id(r): reader.read_payload(r) for r in refs0 + refs1}
         self.end_offset = reader.end_offset()
+
+        # Device decode path: a single rANS literal block (the shape the
+        # device encode path writes) decodes in HBM and replays there
+        # (models/device_path.py); the literal plane never visits the
+        # host.
+        self.device_plane = None
+        if (use_device and not magic.filter_flag and len(refs1) == 1
+                and refs1[0].c_type == C.CTYPE_RANS):
+            from .device_path import DeviceLitPlane
+            r = refs1[0]
+            self.device_plane = DeviceLitPlane(payloads[id(r)], r.u_len)
+            refs1 = []
         self.n0 = len(refs0)
 
         def decomp(ref):
@@ -424,9 +468,23 @@ def _finish_chunk_decode(job: "_ChunkDecodeJob", fd: BinaryIO, hdr,
     else:
         kinds, lengths, dists, stored_crc, consumed = \
             decode_token_stream(s0, hdr.chunk_bytes)
-    literals = np.frombuffer(stream1, dtype=np.uint8)
     chunk = None
-    if runtime.available():
+    if job.device_plane is not None:
+        from .device_path import replay_device
+        out = replay_device(kinds, lengths, dists, job.device_plane)
+        if out is not None:
+            chunk = np.frombuffer(out, dtype=np.uint8)
+            stream1 = b""
+        else:
+            # cross-chunk reach: history lives host-side; read the
+            # literal plane back and continue on the host path
+            import jax
+            plane = job.device_plane
+            plane.check()
+            stream1 = b"" if plane.plane is None else np.asarray(
+                jax.device_get(plane.plane))[:plane.n].tobytes()
+    literals = np.frombuffer(stream1, dtype=np.uint8)
+    if chunk is None and runtime.available():
         # distances are chunk-local in practice; retry with history only
         # when a foreign archive actually reaches back past the chunk
         try:
@@ -584,7 +642,8 @@ def iter_decompress(fd: BinaryIO, settings: Optional[Settings] = None,
             hdr = read_chunk_header(fd, encrypted=crypto is not None)
             if hdr is None:
                 break
-            job = _ChunkDecodeJob(fd, hdr, magic, cfg, pool, crypto)
+            job = _ChunkDecodeJob(fd, hdr, magic, cfg, pool, crypto,
+                                  use_device=settings.use_tpu)
             fd.seek(job.end_offset)
             if prev is not None:
                 yield finish(prev)

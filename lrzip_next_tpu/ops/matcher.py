@@ -534,7 +534,8 @@ class TpuMatchJob:
             dev = jnp.asarray(padded)
         else:
             dev = jnp.asarray(data)
-        m = padded.shape[0] - HASH_W + 1
+        self.dev = dev
+        m = nb - HASH_W + 1
         self.limit = self.n - HASH_W + 1
         self.m = m
         if stride > 1:

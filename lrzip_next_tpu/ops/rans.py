@@ -94,13 +94,17 @@ def joint_histogram(s8: jnp.ndarray, ctxq: jnp.ndarray, n: jnp.ndarray,
     """
     t, k = s8.shape
     c = 1 << ctx_bits
-    rows = s8[::srate].astype(jnp.int32)
-    crows = ctxq[::srate].astype(jnp.int32)
-    r = rows.shape[0]
-    # validity of sampled positions: lane kk at row (i*srate) is real
-    # when kk*T + i*srate < n
+    # sample the LEADING rows instead of a strided slice: lanes are
+    # contiguous spans covering the whole block, so rows [0, t/srate)
+    # already touch every region of the input, and a leading slice is
+    # free while x[::srate] relayouts at ~20ns/element on TPU
+    r = max(t // srate, 1)
+    rows = s8[:r].astype(jnp.int32)
+    crows = ctxq[:r].astype(jnp.int32)
+    # validity of sampled positions: lane kk at row i is real when
+    # kk*T + i < n
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, k), 1)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (r, k), 0) * srate
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (r, k), 0)
     valid = (lane * t + ridx) < n
 
     sym_f = rows.reshape(-1)
