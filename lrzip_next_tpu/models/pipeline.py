@@ -67,6 +67,9 @@ class Settings:
     zpaq_bs: int = 6
     bzip3_bs: int = 4
     use_tpu: bool = False          # rzip matcher on TPU (ops pipeline)
+    use_mesh: Optional[bool] = None  # dp/sp-sharded multi-device matcher;
+    # None = auto (engage when >1 device is visible, except for the
+    # single-chip device-resident rans literal path)
     anchor_stride: int = 0         # TPU matcher sampling; 0 = by level
     cross_chunk: bool = False      # matches reaching into earlier chunks
     lz4_test: bool = True          # compressibility gate before backends
@@ -276,9 +279,22 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
 
     # TPU path: pipeline chunks - submit k+1's device work before
     # collecting k, overlapping device compute with host packaging and
-    # backend compression (device dispatch is asynchronous).
+    # backend compression (device dispatch is asynchronous).  With >1
+    # device visible, consecutive equal-size chunks are dp-sharded
+    # across the mesh instead (parallel/mesh.MeshMatchBatch) - the
+    # multi-device analog of the reference's chunk loop, byte-identical
+    # to the single-device archive.
+    mesh = None
+    if settings.use_tpu and not custom_tokens and len(bounds) > 1:
+        auto_ok = not (ctype == C.CTYPE_RANS and not settings.filter_flag)
+        if settings.use_mesh or (settings.use_mesh is None and auto_ok):
+            from ..parallel.mesh import pipeline_mesh
+            mesh = pipeline_mesh()
     try:
-        if settings.use_tpu and not custom_tokens:
+        if mesh is not None:
+            _compress_chunks_mesh(mesh, data, bounds, settings,
+                                  finish_chunk)
+        elif settings.use_tpu and not custom_tokens:
             from ..ops.matcher import TpuMatchJob
             jobs = {}
             stride = settings.resolved_anchor_stride()
@@ -315,6 +331,48 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
         out.write(digest)
         written += len(digest)
     return written
+
+
+def _compress_chunks_mesh(mesh, data, bounds, settings: Settings,
+                          finish_chunk) -> None:
+    """dp-sharded chunk loop: batches of consecutive equal-size chunks
+    run through one sharded matcher dispatch each (parallel/mesh.
+    MeshMatchBatch), pipelined one batch ahead so device compute
+    overlaps host packaging - the multi-device form of the TpuMatchJob
+    loop, producing byte-identical archives."""
+    from ..parallel.mesh import MeshMatchBatch
+    dp = mesh.devices.shape[0]
+    stride = settings.resolved_anchor_stride()
+
+    groups: List[List[int]] = []
+    cur: List[int] = []
+    for ci, (p0, cs) in enumerate(bounds):
+        if cur and (len(cur) == dp or bounds[cur[0]][1] != cs):
+            groups.append(cur)
+            cur = []
+        cur.append(ci)
+    groups.append(cur)
+
+    def dispatch(g):
+        chunks = [np.asarray(data[bounds[ci][0]:bounds[ci][0]
+                                  + bounds[ci][1]]) for ci in g]
+        return MeshMatchBatch(mesh, chunks, stride)
+
+    batches = {0: dispatch(groups[0])}
+    if len(groups) > 1:
+        batches[1] = dispatch(groups[1])
+    for gi, g in enumerate(groups):
+        nxt = gi + 2
+        if nxt < len(groups):
+            batches[nxt] = dispatch(groups[nxt])
+        mb = batches.pop(gi)
+        for j, ci in enumerate(g):
+            p0, csize = bounds[ci]
+            chunk = np.asarray(data[p0:p0 + csize])
+            tokens = mb.collect(j)
+            if settings.stats_sink is not None:
+                settings.stats_sink(dict(mb.stats[j], chunk=ci))
+            finish_chunk(ci, p0, csize, chunk, tokens)
 
 
 def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,

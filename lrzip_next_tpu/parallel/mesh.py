@@ -91,3 +91,133 @@ def shard_blocks(n_blocks: int, n_shards: int) -> list:
     of the reference's round-robin compthread dispatch,
     src/stream.c:1836-1874)."""
     return [list(range(s, n_blocks, n_shards)) for s in range(n_shards)]
+
+
+# ---------------------------------------------------------------------------
+# Production mesh path: batched per-chunk seed extraction.
+#
+# The archive format makes rzip chunks independent, so a batch of dp
+# equal-size chunks shards exactly across the dp axis while each chunk's
+# window arrays shard across sp (XLA inserts the sort/scan collectives).
+# The computation per chunk is the *same* anchor/compaction graph the
+# single-device TpuMatchJob runs, so the compacted seeds - and therefore
+# the final archive bytes - are identical to the single-device path.
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_seed_fn(mesh: Mesh, stride: int, cap: int):
+    dsh = NamedSharding(mesh, P("dp", "sp"))
+    lsh = NamedSharding(mesh, P("dp"))
+    osh = NamedSharding(mesh, P("dp", None))
+    nsh = NamedSharding(mesh, P("dp"))
+
+    def one(chunk, limit):
+        if stride > 1:
+            pos, cand, ok = matcher.anchor_candidates(chunk, stride)
+            s, e, c, n_runs = matcher.compact_seeds(
+                pos, cand, ok, limit, cap, stride)
+        else:
+            cand, ok = matcher.match_candidates(chunk)
+            s, e, c, n_runs = matcher.compact_runs(cand, ok, limit, cap)
+        return s, e, c, n_runs
+
+    return jax.jit(jax.vmap(one),
+                   in_shardings=(dsh, lsh),
+                   out_shardings=(osh, osh, osh, nsh))
+
+
+def pipeline_mesh() -> Optional[Mesh]:
+    """Mesh for the production compression path, or None when only one
+    device is visible (the single-chip TpuMatchJob pipeline is better
+    there: Pallas compaction kernels + device-resident literal path)."""
+    if len(jax.devices()) < 2:
+        return None
+    return make_mesh()
+
+
+class MeshMatchBatch:
+    """dp-sharded matcher dispatch for a batch of equal-size chunks.
+
+    The multi-device analog of ops.matcher.TpuMatchJob: construction
+    launches one sharded jit over a (dp, NB) batch; ``collect(i)``
+    reads back chunk i's compacted seeds and runs the host greedy cover
+    (exact byte verification + extension), exactly as the single-device
+    path does - archives byte-match the 1-device result.
+
+    Chunks beyond ``len(chunks)`` up to dp are zero-padded rows whose
+    outputs are discarded.
+    """
+
+    def __init__(self, mesh: Mesh, chunks: list, stride: int):
+        from ..ops.matcher import HASH_W, _bucket_size
+        self.chunks = chunks
+        self.stride = stride
+        csize = len(chunks[0])
+        assert all(len(c) == csize for c in chunks)
+        self.trivial = csize <= HASH_W + 4 or csize < 4 * stride
+        if self.trivial:
+            return
+        dp = mesh.devices.shape[0]
+        assert len(chunks) <= dp
+        nb = _bucket_size(csize)
+        batch = np.zeros((dp, nb), np.uint8)
+        for i, c in enumerate(chunks):
+            batch[i, :csize] = c
+        self.limit = csize - HASH_W + 1
+        if stride > 1:
+            k = (nb - HASH_W + 1) // stride
+        else:
+            k = nb - HASH_W + 1
+        self.cap = max(min(k, 4096), k // 64)
+        self.kk = k
+        limits = jnp.full((dp,), jnp.int32(self.limit))
+        self.compacted = _batched_seed_fn(mesh, stride, self.cap)(
+            jnp.asarray(batch), limits)
+        self._fetched = None
+        self.stats: list = [{} for _ in chunks]
+
+    def _fetch(self):
+        if self._fetched is None:
+            s, e, c, n = self.compacted
+            tri = np.asarray(jax.device_get(jnp.stack([s, e, c])))
+            self._fetched = (tri, np.asarray(jax.device_get(n)))
+        return self._fetched
+
+    def collect(self, i: int):
+        """Tokens for chunk i (columnar kinds/lengths/dists)."""
+        data = np.asarray(self.chunks[i], dtype=np.uint8)
+        n = len(data)
+        if self.trivial:
+            self.stats[i] = {"chunk_bytes": n, "chains": 0, "matches": 0,
+                             "match_bytes": 0, "literals": 1 if n else 0,
+                             "literal_bytes": n}
+            if n == 0:
+                return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                        np.zeros(0, np.int64))
+            return (np.array([0], np.uint8), np.array([n], np.int64),
+                    np.array([0], np.int64))
+        tri, n_runs = self._fetch()
+        k = int(n_runs[i])
+        if k > self.cap:
+            # rare overflow: redo this chunk through the single-device
+            # job, whose bucketed-cap retry is the same one the
+            # non-mesh pipeline would have taken (byte-identical).
+            from ..ops.matcher import TpuMatchJob
+            job = TpuMatchJob(data, stride=self.stride)
+            tokens = job.collect()
+            self.stats[i] = job.stats
+            return tokens
+        rs = tri[0, i, :k].astype(np.int64)
+        re = tri[1, i, :k].astype(np.int64)
+        src = tri[2, i, :k].astype(np.int64)
+        rl = re - rs + 1
+        kinds, lengths, dists = matcher.greedy_cover_from_runs(
+            rs, rl, src, n, data=data)
+        m = kinds == 1
+        self.stats[i] = {
+            "chunk_bytes": n, "chains": k, "matches": int(m.sum()),
+            "match_bytes": int(lengths[m].sum()),
+            "literals": int((~m).sum()),
+            "literal_bytes": int(lengths[~m].sum()),
+        }
+        return kinds, lengths, dists

@@ -46,3 +46,67 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip(n):
     import __graft_entry__ as g
     g.dryrun_multichip(n)
+
+
+def _mixed_corpus(n):
+    base = open("/root/reference/src/rzip.c", "rb").read()
+    rng = np.random.default_rng(5)
+    rep = (base * (n // len(base) + 2))[:n // 2]
+    rnd = rng.integers(0, 256, n // 4, dtype=np.uint8).tobytes()
+    return (rep + rnd + rep)[:n]
+
+
+@pytest.mark.parametrize("method", ["zstd", "gzip"])
+def test_mesh_archive_bytematches_single_device(method):
+    """The production mesh path (compress_stream with >1 device) must
+    produce the exact bytes of the single-device TPU path."""
+    import io
+    import lrzip_next_tpu as lrz
+    from lrzip_next_tpu.models.pipeline import compress_stream
+
+    data = _mixed_corpus(1 << 20)
+
+    def run(use_mesh):
+        out = io.BytesIO()
+        compress_stream(data, out, lrz.Settings(
+            method=method, use_tpu=True, use_mesh=use_mesh,
+            max_chunk=200_000))
+        return out.getvalue()
+
+    mesh_arch = run(True)
+    single_arch = run(False)
+    assert mesh_arch == single_arch
+    assert lrz.decompress(mesh_arch) == data
+
+
+def test_mesh_auto_engages_and_roundtrips():
+    """use_mesh=None auto-detects the multi-device CPU mesh."""
+    import io
+    import lrzip_next_tpu as lrz
+    from lrzip_next_tpu.models.pipeline import compress_stream
+
+    data = _mixed_corpus(1 << 19)
+    out = io.BytesIO()
+    compress_stream(data, out, lrz.Settings(
+        method="zstd", use_tpu=True, max_chunk=100_000))
+    assert lrz.decompress(out.getvalue()) == data
+
+
+def test_mesh_batch_stats_and_uneven_tail():
+    """Tail chunk of a different size falls into its own batch; stats
+    mirror the single-device counters."""
+    import io
+    import lrzip_next_tpu as lrz
+    from lrzip_next_tpu.models.pipeline import compress_stream
+
+    data = _mixed_corpus(750_000)  # 3 x 200k + 150k tail
+    stats = []
+    out = io.BytesIO()
+    compress_stream(data, out, lrz.Settings(
+        method="gzip", use_tpu=True, use_mesh=True, max_chunk=200_000,
+        stats_sink=stats.append))
+    assert [s["chunk"] for s in stats] == [0, 1, 2, 3]
+    assert all(s["chunk_bytes"] in (200_000, 150_000) for s in stats)
+    assert sum(s["match_bytes"] + s["literal_bytes"] for s in stats) \
+        == len(data)
+    assert lrz.decompress(out.getvalue()) == data
