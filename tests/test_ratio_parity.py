@@ -1,0 +1,65 @@
+"""Size head-to-head vs the compiled reference binary (SURVEY 7.3-7.4).
+
+Compresses the same corpus stand-ins as tools/configs_bench.py (the
+BASELINE.json config analogs, scaled down) with both this framework and
+the in-tree-built lrzip-next binary, asserting our archive is no larger.
+Round-1 measured margins at --quick scale: config 1 -1.4%, config 2
+-2.0%, config 3 -0.06% (see docs/BENCHMARKS.md for the full-size runs).
+"""
+
+import importlib.util
+import os
+import pathlib
+import shutil
+import subprocess
+
+import pytest
+
+import lrzip_next_tpu as lrz
+
+_TOOLS = pathlib.Path(__file__).parents[1] / "tools" / "configs_bench.py"
+_spec = importlib.util.spec_from_file_location("configs_bench", _TOOLS)
+cb = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(cb)
+
+ORACLE_DIR = "/tmp/lrz_oracle_bin"
+ORACLE = os.path.join(ORACLE_DIR, "lrzip-next")
+BUILD = os.path.join(os.path.dirname(__file__), "oracle",
+                     "build_oracle.sh")
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    if not os.path.isdir("/root/reference/src"):
+        pytest.skip("reference tree not present")
+    if not os.path.exists(ORACLE):
+        r = subprocess.run(["bash", BUILD, ORACLE_DIR],
+                           capture_output=True, text=True, timeout=600)
+        if r.returncode != 0:
+            pytest.skip(f"oracle build failed: {r.stderr[-400:]}")
+    return ORACLE
+
+
+CONFIGS = [
+    # (name, corpus builder, our settings, reference flags)
+    ("1-enwik8-class", lambda: cb.text_corpus(12_000_000),
+     lrz.Settings(method="zstd"), ["-Z"]),
+    ("2-enwik9-class", lambda: cb.text_corpus(8_000_000, seed=7),
+     lrz.Settings(method="lzma"), []),
+    ("3-silesia-class", lambda: cb.mixed_corpus(12_000_000),
+     lrz.Settings(method="bzip2"), ["-b"]),
+]
+
+
+@pytest.mark.parametrize("name,corpus,settings,flags",
+                         CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_size_beats_reference(oracle, name, corpus, settings, flags):
+    data = corpus()
+    ours = lrz.compress(data, settings)
+    assert lrz.decompress(ours) == data
+    ref_size, _ = cb.ref_compress_size(oracle, data, flags)
+    assert len(ours) <= ref_size, (
+        f"{name}: ours {len(ours)} > reference {ref_size} "
+        f"({len(ours) / ref_size:.4f}x)")

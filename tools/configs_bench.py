@@ -80,7 +80,41 @@ def longrange_corpus(size: int, span: int, seed: int = 2) -> bytes:
     return (seg * reps)[:size]
 
 
-def run_config(name: str, data: bytes, settings, expect_ratio: float):
+ORACLE_DIR = "/tmp/lrz_oracle_bin"
+
+
+def build_oracle() -> str:
+    """Compile the reference binary (tests/oracle/build_oracle.sh) for
+    size head-to-heads; returns the executable path."""
+    import subprocess
+    oracle = pathlib.Path(ORACLE_DIR) / "lrzip-next"
+    build = pathlib.Path(__file__).parents[1] / "tests" / "oracle" / \
+        "build_oracle.sh"
+    if not oracle.exists():
+        subprocess.run(["bash", str(build), ORACLE_DIR], check=True,
+                       capture_output=True, timeout=600)
+    return str(oracle)
+
+
+def ref_compress_size(oracle: str, data: bytes, flags) -> tuple:
+    """(size, seconds) of the reference binary compressing ``data``."""
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        src = pathlib.Path(td) / "in.bin"
+        src.write_bytes(data)
+        arch = pathlib.Path(td) / "in.lrz"
+        t0 = time.time()
+        r = subprocess.run([oracle, "-f", "-Q", *flags, "-o", str(arch),
+                            str(src)], capture_output=True, text=True,
+                           timeout=3600)
+        dt = time.time() - t0
+        assert r.returncode == 0, r.stderr[-400:]
+        return arch.stat().st_size, dt
+
+
+def run_config(name: str, data: bytes, settings, expect_ratio: float,
+               ref_flags=None, oracle=None):
     t0 = time.time()
     archive = lrz.compress(data, settings)
     t1 = time.time()
@@ -95,6 +129,12 @@ def run_config(name: str, data: bytes, settings, expect_ratio: float):
         "decompress_mbps": round(len(data) / 1e6 / (t2 - t1), 2),
         "ratio_target": expect_ratio,
     }
+    if oracle is not None and ref_flags is not None:
+        ref_size, ref_dt = ref_compress_size(oracle, data, ref_flags)
+        res["our_bytes"] = len(archive)
+        res["ref_bytes"] = ref_size
+        res["size_vs_ref"] = round(len(archive) / ref_size, 4)
+        res["ref_compress_mbps"] = round(len(data) / 1e6 / ref_dt, 2)
     print(json.dumps(res), flush=True)
     return res
 
@@ -105,31 +145,35 @@ def main() -> int:
                     help="1/4-size corpora")
     ap.add_argument("--tpu", action="store_true",
                     help="device matcher path (local-TPU hosts)")
+    ap.add_argument("--ref", action="store_true",
+                    help="also compress with the compiled reference "
+                         "binary and report the size head-to-head")
     ap.add_argument("configs", nargs="*", type=int,
                     default=[1, 2, 3, 4])
     args = ap.parse_args()
     div = 4 if args.quick else 1
     tpu = args.tpu
+    oracle = build_oracle() if args.ref else None
 
     if 1 in args.configs:
         # config 1: enwik8-class text, rzip + zstd
         data = text_corpus(100_000_000 // div)
         run_config("1-enwik8-class rzip+zstd", data,
                    lrz.Settings(method="zstd", use_tpu=tpu),
-                   expect_ratio=2.5)
+                   expect_ratio=2.5, ref_flags=["-Z"], oracle=oracle)
     if 2 in args.configs:
         # config 2: enwik9-class (scaled to 256MB under the axon
         # tunnel; same code path), default lzma
         data = text_corpus(256_000_000 // div, seed=7)
         run_config("2-enwik9-class rzip+lzma (scaled)", data,
                    lrz.Settings(method="lzma", use_tpu=tpu),
-                   expect_ratio=3.0)
+                   expect_ratio=3.0, ref_flags=[], oracle=oracle)
     if 3 in args.configs:
         # config 3: Silesia-class mixed corpus, bzip2 backend
         data = mixed_corpus(100_000_000 // div)
         run_config("3-silesia-class rzip+bzip2", data,
                    lrz.Settings(method="bzip2", use_tpu=tpu),
-                   expect_ratio=1.5)
+                   expect_ratio=1.5, ref_flags=["-b"], oracle=oracle)
     if 4 in args.configs:
         # config 4: VM-image-class long-range dedup: repeats 96MB apart
         # with 64MB chunks - only cross-chunk rzip matching can
@@ -139,7 +183,7 @@ def main() -> int:
                          max_chunk=64_000_000 // div,
                          unlimited=True)
         run_config("4-vmimage-class -U rzip+lzma", data, s,
-                   expect_ratio=6.0)
+                   expect_ratio=6.0, ref_flags=["-U"], oracle=oracle)
     return 0
 
 
