@@ -359,6 +359,29 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
+def _check_free_space(out_path: str, needed: int, force: bool,
+                      action: str) -> int:
+    """Destination free-space pre-check (reference src/rzip.c:976-993
+    compress, src/lrzip.c:1712-1726 decompress): sized-to-input fatal
+    unless -f downgrades it to a warning.  Returns nonzero on fatal."""
+    try:
+        st = os.statvfs(os.path.dirname(os.path.abspath(out_path)) or ".")
+    except OSError:
+        return 0
+    free = st.f_frsize * st.f_bavail
+    if free >= needed:
+        return 0
+    if force:
+        print(f"Warning, possibly inadequate free space to {action} "
+              f"({free:,} available, {needed:,} needed), attempting "
+              f"due to -f.", file=sys.stderr)
+        return 0
+    print(f"Fatal: possibly inadequate free space to {action}. Space "
+          f"needed: {needed:,}. Space available: {free:,}. Use -f to "
+          f"override.", file=sys.stderr)
+    return 1
+
+
 def _compress_one(args, path: str, quiet: bool) -> int:
     settings = settings_from_args(args)
     out_path = _out_path(args, path, decompress=False)
@@ -389,6 +412,8 @@ def _compress_one(args, path: str, quiet: bool) -> int:
         return 1
     t0 = time.time()
     in_size = os.path.getsize(path)
+    if _check_free_space(out_path, in_size, args.force, "compress file"):
+        return 1
     tmp_path = out_path + ".tmp"
     try:
         n = pipeline.compress_file(path, tmp_path, settings)
@@ -439,6 +464,16 @@ def _decompress_one(args, path: str, quiet: bool) -> int:
         print(f"Output file {out_path} exists. Use -f to force overwrite.",
               file=sys.stderr)
         return 1
+    try:
+        from .format.magic import MagicHeader
+        with open(path, "rb") as fd:
+            magic = MagicHeader.decode(fd.read(4096))
+        expected = max(magic.expected_size or 0, 0)
+    except (ValueError, OSError):
+        expected = 0
+    if expected and _check_free_space(out_path, expected, args.force,
+                                      "decompress file"):
+        return 1
     total = pipeline.decompress_file(path, out_path, settings)
     dt = max(time.time() - t0, 1e-9)
     if args.check:
@@ -474,18 +509,42 @@ def _decompress_one(args, path: str, quiet: bool) -> int:
 
 
 def _run_stdio(args) -> int:
-    data = sys.stdin.buffer.read()
-    if args.decompress or args.test:
-        import io as _io
-        out = pipeline.decompress_stream(_io.BytesIO(data),
-                                         settings_from_args(args))
-        if not args.test:
-            sys.stdout.buffer.write(out)
-    else:
-        import io as _io
-        buf = _io.BytesIO()
-        pipeline.compress_stream(data, buf, settings_from_args(args))
-        sys.stdout.buffer.write(buf.getvalue())
+    """stdin -> stdout pipe modes, spilling stdin to a TMPDIR temp file
+    so streams larger than RAM work (the reference's tmpinbuf/tmp-file
+    dump, src/lrzip.c:856-900, src/stream.c:819-846).  Compression
+    output is written to stdout progressively (chunk granularity), so
+    peak RAM stays bounded by one chunk."""
+    import tempfile
+
+    import numpy as np
+
+    with tempfile.NamedTemporaryFile(prefix="lrznt-stdin-") as spill:
+        while True:
+            blk = sys.stdin.buffer.read(1 << 20)
+            if not blk:
+                break
+            spill.write(blk)
+        spill.flush()
+        size = spill.tell()
+        if args.decompress or args.test:
+            total = 0
+            with open(spill.name, "rb") as fd:
+                for chunk in pipeline.iter_decompress(
+                        fd, settings_from_args(args)):
+                    total += len(chunk)
+                    if not args.test:
+                        sys.stdout.buffer.write(chunk)
+            if not args.test:
+                sys.stdout.buffer.flush()
+            elif not args.very_quiet:
+                print(f"stdin: integrity OK ({total:,} bytes)",
+                      file=sys.stderr)
+        else:
+            data = np.memmap(spill.name, dtype=np.uint8, mode="r") \
+                if size else np.zeros(0, dtype=np.uint8)
+            pipeline.compress_stream(data, sys.stdout.buffer,
+                                     settings_from_args(args))
+            sys.stdout.buffer.flush()
     return 0
 
 

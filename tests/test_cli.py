@@ -192,3 +192,63 @@ def test_check_mode_encrypted(sample_file, capsys):
                     str(sample_file) + ".lrz"]) == 0
     err = capsys.readouterr().err
     assert "unreadable" not in err
+
+
+def test_free_space_guard(sample_file, tmp_path, monkeypatch, capsys):
+    """Destination free-space pre-check (src/rzip.c:976-993): fatal
+    without -f, warning with it."""
+    import collections
+    Vfs = collections.namedtuple("Vfs", "f_frsize f_bavail")
+    monkeypatch.setattr(os, "statvfs", lambda p: Vfs(4096, 0))
+    assert run_cli(["--no-tpu", str(sample_file)]) == 1
+    err = capsys.readouterr().err
+    assert "inadequate free space" in err and "-f" in err
+    assert not sample_file.with_suffix(".bin.lrz").exists()
+    # -f downgrades to a warning
+    assert run_cli(["--no-tpu", "-f", str(sample_file)]) == 0
+    assert "Warning" in capsys.readouterr().err
+    lrz = sample_file.with_suffix(".bin.lrz")
+    assert lrz.exists()
+    # decompress side: expected size exceeds free space
+    sample_file.unlink()
+    assert run_cli(["-d", str(lrz)]) == 1
+    assert "inadequate free space" in capsys.readouterr().err
+    monkeypatch.undo()
+    assert run_cli(["-d", str(lrz)]) == 0
+    assert sample_file.exists()
+
+
+def _pipe_env():
+    import pathlib
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parents[1])
+    return env
+
+
+def test_stdin_stdout_pipe_roundtrip(corpus_factory, tmp_path):
+    """stdin -> stdout compress/decompress pipes through the TMPDIR
+    spill path (src/lrzip.c:856-900 analog); TMPDIR is honored."""
+    data = corpus_factory(300_000, "mixed")
+    env = _pipe_env()
+    spill_dir = tmp_path / "spill"
+    spill_dir.mkdir()
+    env["TMPDIR"] = str(spill_dir)
+    r = subprocess.run(
+        [sys.executable, "-m", "lrzip_next_tpu.cli", "--no-tpu", "-Z"],
+        input=data, capture_output=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()
+    assert r.stdout[:4] == b"LRZI"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "lrzip_next_tpu.cli", "-d"],
+        input=r.stdout, capture_output=True, env=env, timeout=120)
+    assert r2.returncode == 0, r2.stderr.decode()
+    assert r2.stdout == data
+    # -t from stdin: integrity only, no stdout payload
+    r3 = subprocess.run(
+        [sys.executable, "-m", "lrzip_next_tpu.cli", "-t"],
+        input=r.stdout, capture_output=True, env=env, timeout=120)
+    assert r3.returncode == 0, r3.stderr.decode()
+    assert r3.stdout == b""
+    assert b"integrity OK" in r3.stderr
