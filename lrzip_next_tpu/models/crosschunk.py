@@ -160,67 +160,64 @@ def find_cross_matches(full_data: np.ndarray, index: CrossChunkIndex,
 def splice_cross_matches(kinds: np.ndarray, lengths: np.ndarray,
                          dists: np.ndarray, cross, chunk_base: int
                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Insert cross-chunk matches into literal spans of a tokenisation.
+    """Replace every region a cross match covers with ONE match token.
 
-    Only the portion of a cross match that falls strictly inside a
-    literal token is used (in-chunk matches always win); each literal
-    may be split into [pre-literal][match][post-literal].
+    The cross intervals are verified maximal equalities, so any tokens
+    they cover - literals AND in-window matches (a duplicated region's
+    internal structure re-tokenises into many short matches) - collapse
+    into a single long-distance match, matching the single long match
+    the reference's whole-window hash search would emit.  Tokens cut at
+    an interval edge are clipped: any sub-range of a match token is
+    itself a valid match (the decoder's replay is positionwise), and
+    literals clip trivially.
     """
     if not cross:
         return kinds, lengths, dists
     ends = np.cumsum(lengths)
     starts = ends - lengths  # chunk-relative token starts
+    chunk_len = int(ends[-1]) if len(ends) else 0
     ok_kinds: List[int] = []
     ok_lens: List[int] = []
     ok_dists: List[int] = []
-    ci = 0
-    cross = sorted(cross)
-    # active cross match remainder [cs, ce_full) at distance cd - a long
-    # cross match spanning many tokens splices into EVERY literal it
-    # overlaps (any sub-range of a verified match is a valid match)
-    cur = None
-    for t in range(len(kinds)):
-        t_start, t_end = int(starts[t]), int(ends[t])
-        if kinds[t] == 1:
-            ok_kinds.append(1)
-            ok_lens.append(int(lengths[t]))
-            ok_dists.append(int(dists[t]))
-            continue
-        p = t_start
-        while True:
-            if cur is None:
-                if ci >= len(cross):
-                    break
-                cs_abs, cl, cd = cross[ci]
-                ci += 1
-                cur = (cs_abs - chunk_base, cs_abs - chunk_base + cl, cd)
-            cs, ce_full, cd = cur
-            if cs >= t_end:
-                break  # starts past this literal; keep for later tokens
-            ce = min(ce_full, t_end)
-            start_at = max(cs, p)
-            if ce - start_at < MINIMUM_MATCH:
-                if ce_full > t_end:
-                    cur = (t_end, ce_full, cd)
-                    break
-                cur = None
+
+    def emit(k: int, ln: int, d: int):
+        if ln <= 0:
+            return
+        if ok_kinds and ok_kinds[-1] == k and (k == 0 or
+                                               ok_dists[-1] == d):
+            ok_lens[-1] += ln  # merge adjacent same-kind pieces
+            return
+        ok_kinds.append(k)
+        ok_lens.append(ln)
+        ok_dists.append(d)
+
+    t = 0  # original token cursor
+
+    def emit_originals(upto: int, p: int) -> int:
+        """Emit original tokens (clipped) covering [p, upto)."""
+        nonlocal t
+        while p < upto and t < len(kinds):
+            t0, t1 = int(starts[t]), int(ends[t])
+            if t1 <= p:
+                t += 1
                 continue
-            if start_at > p:
-                ok_kinds.append(0)
-                ok_lens.append(start_at - p)
-                ok_dists.append(0)
-            ok_kinds.append(1)
-            ok_lens.append(ce - start_at)
-            ok_dists.append(cd)
-            p = ce
-            if ce_full > t_end:
-                cur = (t_end, ce_full, cd)
-                break
-            cur = None
-        if t_end > p:
-            ok_kinds.append(0)
-            ok_lens.append(t_end - p)
-            ok_dists.append(0)
+            seg = min(t1, upto) - p
+            emit(int(kinds[t]), seg, int(dists[t]) if kinds[t] else 0)
+            p += seg
+            if t1 <= p:
+                t += 1
+        return p
+
+    p = 0
+    for cs_abs, cl, cd in sorted(cross):
+        cs = max(cs_abs - chunk_base, p)
+        ce = min(cs_abs - chunk_base + cl, chunk_len)
+        if ce - cs < MINIMUM_MATCH:
+            continue
+        p = emit_originals(cs, p)
+        emit(1, ce - p, cd)
+        p = ce
+    emit_originals(chunk_len, p)
     return (np.array(ok_kinds, dtype=np.uint8),
             np.array(ok_lens, dtype=np.int64),
             np.array(ok_dists, dtype=np.int64))

@@ -253,7 +253,7 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
     # spans (models/crosschunk.py).
     xindex = None
     w_override = None
-    if (settings.cross_chunk or settings.unlimited) and len(bounds) > 1:
+    if settings.cross_chunk and not settings.unlimited and len(bounds) > 1:
         from .crosschunk import CrossChunkIndex
         xindex = CrossChunkIndex()
         w_override = C.chunk_byte_width(total)
@@ -284,14 +284,19 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
     # across the mesh instead (parallel/mesh.MeshMatchBatch) - the
     # multi-device analog of the reference's chunk loop, byte-identical
     # to the single-device archive.
+    unlimited = settings.unlimited and len(bounds) > 1 and not custom_tokens
     mesh = None
-    if settings.use_tpu and not custom_tokens and len(bounds) > 1:
+    if settings.use_tpu and not custom_tokens and not unlimited \
+            and len(bounds) > 1:
         auto_ok = not (ctype == C.CTYPE_RANS and not settings.filter_flag)
         if settings.use_mesh or (settings.use_mesh is None and auto_ok):
             from ..parallel.mesh import pipeline_mesh
             mesh = pipeline_mesh()
     try:
-        if mesh is not None:
+        if unlimited:
+            written += _compress_unlimited(out, data, bounds, ctype, cfg,
+                                           settings, pool, crypto, hasher)
+        elif mesh is not None:
             _compress_chunks_mesh(mesh, data, bounds, settings,
                                   finish_chunk)
         elif settings.use_tpu and not custom_tokens:
@@ -373,6 +378,123 @@ def _compress_chunks_mesh(mesh, data, bounds, settings: Settings,
             if settings.stats_sink is not None:
                 settings.stats_sink(dict(mb.stats[j], chunk=ci))
             finish_chunk(ci, p0, csize, chunk, tokens)
+
+
+def _compress_unlimited(out: BinaryIO, data, bounds, ctype: int,
+                        cfg: BackendConfig, settings: Settings,
+                        pool: ThreadPoolExecutor, crypto, hasher) -> int:
+    """-U: ONE rzip chunk spanning the whole file, built from HBM-sized
+    window passes - the memory-bounded analog of the reference's
+    sliding mmap (src/rzip.c:84-181), emitting archives the reference
+    binary decodes (all distances stay within the single chunk, which
+    its runzip replays from RAM or fd_hist, src/runzip.c:184-241).
+
+    Each window is matched against itself on the device and against
+    every earlier window via the host cross-window index
+    (models/crosschunk.py); the spliced window token streams
+    concatenate into one whole-file stream.  Literal bytes flush to
+    backend blocks as they accumulate, so peak RAM is one window plus
+    the (compressed) output blocks.
+    """
+    from .crosschunk import CrossChunkIndex, find_cross_matches, \
+        splice_cross_matches
+
+    total = len(data)
+    w = C.chunk_byte_width(max(total, 1))
+    max_dist = (1 << (8 * w)) - 1
+    xindex = CrossChunkIndex()
+    gate = _lz4_gate(settings)
+    stride = settings.resolved_anchor_stride()
+
+    all_k: List[np.ndarray] = []
+    all_l: List[np.ndarray] = []
+    all_d: List[np.ndarray] = []
+    lit_parts: List[np.ndarray] = []
+    lit_len = 0
+    lit_futs: List = []
+    crc = 0
+
+    def submit_block(raw: bytes):
+        if settings.filter_flag:
+            raw = apply_filter(raw, settings.filter_flag,
+                               settings.delta_offset)
+
+        def work(raw=raw):
+            use_ctype = ctype
+            if use_ctype != C.CTYPE_NONE and gate is not None \
+                    and not gate(raw):
+                use_ctype = C.CTYPE_NONE
+            ct, payload = compress_block(raw, use_ctype, cfg)
+            return Block(streamno=1, c_type=ct, c_len=len(payload),
+                         u_len=len(raw), payload=payload)
+
+        lit_futs.append(pool.submit(work))
+
+    def add_literals(arr: np.ndarray, final: bool = False):
+        nonlocal lit_len
+        if len(arr):
+            lit_parts.append(arr)
+            lit_len += len(arr)
+        while lit_len >= settings.block_size or (final and lit_len):
+            buf = np.concatenate(lit_parts) if len(lit_parts) > 1 \
+                else lit_parts[0]
+            submit_block(buf[:settings.block_size].tobytes())
+            rest = buf[settings.block_size:]
+            lit_parts[:] = [rest] if len(rest) else []
+            lit_len = len(rest)
+
+    def make_job(ci):
+        p0, cs = bounds[ci]
+        chunk = np.asarray(data[p0:p0 + cs])
+        if settings.use_tpu:
+            from ..ops.matcher import TpuMatchJob
+            return chunk, TpuMatchJob(chunk, stride=stride)
+        return chunk, None
+
+    jobs = {ci: make_job(ci) for ci in range(min(2, len(bounds)))}
+    for ci, (p0, csize) in enumerate(bounds):
+        if ci + 2 < len(bounds):
+            jobs[ci + 2] = make_job(ci + 2)
+        chunk, job = jobs.pop(ci)
+        tokens = job.collect() if job is not None \
+            else rzip_host.rzip_encode_chunk(chunk)
+        if job is not None and settings.stats_sink is not None:
+            settings.stats_sink(dict(job.stats, chunk=ci))
+        cross = find_cross_matches(data, xindex, p0, csize, max_dist)
+        tokens = splice_cross_matches(*tokens, cross, p0)
+        xindex.add_chunk(chunk, p0)
+        k, ln, d = split_long_runs(*tokens)
+        all_k.append(k)
+        all_l.append(ln)
+        all_d.append(d)
+        add_literals(rzip_host.literals_of(chunk, k, ln))
+        crc = zlib.crc32(chunk, crc)
+        if hasher is not None:
+            hasher.update(chunk)
+        if settings.progress:
+            settings.progress("rzip", p0 + csize, total)
+    add_literals(np.zeros(0, np.uint8), final=True)
+
+    kinds = np.concatenate(all_k) if all_k else np.zeros(0, np.uint8)
+    lengths = np.concatenate(all_l) if all_l else np.zeros(0, np.int64)
+    dists = np.concatenate(all_d) if all_d else np.zeros(0, np.int64)
+    stream0 = encode_token_stream(kinds, lengths, dists, w,
+                                  stored_crc_int(crc & 0xFFFFFFFF))
+
+    def tok_one(raw: bytes):
+        use_ctype = ctype
+        if use_ctype != C.CTYPE_NONE and gate is not None \
+                and not gate(raw):
+            use_ctype = C.CTYPE_NONE
+        ct, payload = compress_block(raw, use_ctype, cfg)
+        return Block(streamno=0, c_type=ct, c_len=len(payload),
+                     u_len=len(raw), payload=payload)
+
+    tok_blocks = list(pool.map(
+        tok_one, [p.tobytes() for p in
+                  _split_stream(stream0, settings.block_size)]))
+    blocks = tok_blocks + [f.result() for f in lit_futs]
+    return write_chunk(out, w, True, total, blocks, crypto=crypto)
 
 
 def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,

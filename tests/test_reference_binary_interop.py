@@ -202,3 +202,42 @@ def test_encrypted_interop_both_directions(oracle, corpus_bytes,
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-400:]
     assert dec.read_bytes() == data
+
+
+def test_ref_decodes_our_unlimited_single_chunk(oracle, corpus_bytes,
+                                                tmp_path):
+    """-U emits ONE whole-file chunk from windowed matcher passes
+    (pipeline._compress_unlimited, the sliding-mmap analog of
+    src/rzip.c:84-181) whose cross-window match distances the reference
+    replays from its in-RAM chunk buffer - unlike the multi-chunk
+    cross_chunk extension it provably cannot decode."""
+    import io
+
+    from lrzip_next_tpu.format.container import ChunkReader, \
+        read_chunk_header
+    from lrzip_next_tpu.format.magic import MagicHeader
+    from lrzip_next_tpu.format.tokens import decode_token_stream
+
+    data = corpus_bytes + bytes(40_000) + corpus_bytes + corpus_bytes
+    ours = lrz.compress(data, lrz.Settings(method="zstd",
+                                           max_chunk=150_000,
+                                           unlimited=True))
+    # exactly one chunk, spanning the whole file
+    fd = io.BytesIO(ours)
+    magic = MagicHeader.decode(fd.read(4096))
+    fd.seek(magic.header_len)
+    hdr = read_chunk_header(fd)
+    assert hdr.eof and hdr.size == len(data)
+    # the token stream must contain at least one cross-window distance
+    reader = ChunkReader(fd, hdr)
+    from lrzip_next_tpu.backends import BackendConfig, decompress_block
+    s0 = b"".join(
+        decompress_block(reader.read_payload(r), r.c_type, r.u_len,
+                         BackendConfig())
+        for r in reader.blocks(0))
+    kinds, lengths, dists, _, _ = decode_token_stream(
+        np.frombuffer(s0, np.uint8), hdr.chunk_bytes)
+    assert int(dists.max()) > 150_000, "no cross-window match emitted"
+    # we decode it, and the reference binary decodes it
+    assert lrz.decompress(ours) == data
+    assert ref_decompress(oracle, ours, tmp_path) == data
