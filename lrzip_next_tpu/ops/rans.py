@@ -376,9 +376,23 @@ def _plan(data_dev: jnp.ndarray, n: int, ctx_bits: int):
 def encode_arrays(data_dev: jnp.ndarray, n: int, ctx_bits: int = 6):
     """Device-resident encode: returns (freqs, states, packed, n_words)
     as device arrays (packed is TK-capped; first n_words entries real).
+
+    On real accelerators with enough lanes the scan runs as the Pallas
+    VMEM-resident kernel (ops/rans_pallas, bit-identical states/words)
+    and the compaction consumes its fused word|flag plane directly.
     """
     s8, ctxq, k, t_len = _plan(data_dev, n, ctx_bits)
     srate = max(1, (t_len * k) // _SAMPLE_TARGET)
+    if k >= 2048 and jax.devices()[0].platform != "cpu":
+        from .rans_pallas import encode_scan_fused, joint_histogram_pallas
+        from .streampack import pack_plane_pallas
+        counts = joint_histogram_pallas(s8, jnp.int32(n), ctx_bits,
+                                        srate)
+        freqs = quantize_freqs(counts)
+        states, plane = encode_scan_fused(s8, jnp.int32(n), freqs,
+                                          ctx_bits)
+        packed, n_words = pack_plane_pallas(plane, t_len * k)
+        return freqs, states, packed, n_words, t_len
     counts = joint_histogram(s8, ctxq, jnp.int32(n), ctx_bits, srate)
     freqs = quantize_freqs(counts)
     states, words, flags = _encode_scan(

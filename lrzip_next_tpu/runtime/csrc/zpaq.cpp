@@ -461,6 +461,36 @@ struct Model {
         return hx;
     }
 
+    // Encode-side prefetch: the byte is known before its 8 bits are
+    // coded, so both nibbles' hash-table rows (ICM/ISSE find() probes,
+    // the per-nibble DRAM misses that bound CM throughput on big
+    // models) can be requested up front and overlap the coding work.
+    void prefetch_byte(int ch) {
+        int n = z.header[6];
+        const U8* cp = &z.header[7];
+        const U32 c8a = 1, c8b = 16 + (ch >> 4);
+        for (int i = 0; i < n; i++) {
+            if (cp[0] == ICM || cp[0] == ISSE) {
+                Comp& cr = comp[i];
+                size_t mask = cr.ht.size() - 16;
+                int sizebits = cp[1] + 2;
+                for (U32 c8 : {c8a, c8b}) {
+                    U32 cxt = hh[i] + 16 * c8;
+                    size_t h0 = ((size_t)cxt * 16) & mask;
+                    __builtin_prefetch(&cr.ht[h0]);
+                    __builtin_prefetch(&cr.ht[h0 ^ 16]);
+                    __builtin_prefetch(&cr.ht[h0 ^ 32]);
+                    (void)sizebits;
+                }
+            } else if (cp[0] == MATCH) {
+                Comp& cr = comp[i];
+                __builtin_prefetch(&cr.CM(hh[i]));
+                __builtin_prefetch(&cr.HT(cr.limit - cr.b));
+            }
+            cp += kCompSize[cp[0]];
+        }
+    }
+
     int predict() {
         int n = z.header[6];
         const U8* cp = &z.header[7];
@@ -707,6 +737,7 @@ struct RangeEncoder {
 
     void compress(int ch) {
         if (ch == -1) { encode(1, 0); return; }
+        pr->prefetch_byte(ch);
         encode(0, 0);
         for (int i = 7; i >= 0; --i) {
             int p = pr->predict() * 2 + 1;
