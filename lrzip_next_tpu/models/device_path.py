@@ -195,11 +195,21 @@ def replay_device(kinds: np.ndarray, lengths: np.ndarray,
                   ) -> Optional[bytes]:
     """Device token replay from a device-resident literal plane.
 
+    Primary path: the native runtime flattens match chains at token
+    granularity (every byte sources directly from the literal stream),
+    then the device computes per-byte literal indices with a
+    scatter+cummax (no gathers) and materializes bytes with the
+    2-sort merge gather (ops/replay.gather_by_sort) - per-element
+    gathers cost ~40ns each on TPU, 19s for a 64MB chunk.  Fallback
+    (plan blowup on byte-RLE chains, or no native runtime): the
+    pointer-doubling resolver.
+
     Returns the chunk bytes, or None when the tokens reach back before
     the chunk (cross-chunk history lives on the host side).
     """
     jax, jnp = _jx()
-    from ..ops.replay import expand_tokens, resolve_bytes
+    from .. import runtime
+    from ..ops.replay import expand_tokens, replay_flat_tpu, resolve_bytes
     lengths = np.asarray(lengths, dtype=np.int64)
     out_len = int(lengths.sum())
     if out_len == 0:
@@ -211,26 +221,32 @@ def replay_device(kinds: np.ndarray, lengths: np.ndarray,
     if bool((d[is_match] > starts[is_match]).any()):
         return None  # cross-chunk reach: host path owns history
     lit_lens = np.where(is_match, 0, lengths)
-    lit_base = (np.cumsum(lit_lens) - lit_lens).astype(np.int32)
     lit_total = int(lit_lens.sum())
     if plane.n != lit_total:
         raise ValueError("literal stream length mismatch")
     literals = plane.plane if plane.plane is not None \
         else jnp.zeros(1, jnp.uint8)
-    t = len(starts)
-    tb = _token_bucket(t)
-    st = np.full(tb, out_len, np.int32)
-    st[:t] = starts
-    im = np.zeros(tb, bool)
-    im[:t] = is_match
-    dd = np.zeros(tb, np.int32)
-    dd[:t] = d
-    lb = np.zeros(tb, np.int32)
-    lb[:t] = lit_base
-    src, lit_idx = expand_tokens(jnp.asarray(st), jnp.asarray(im),
-                                 jnp.asarray(dd), jnp.asarray(lb),
-                                 out_len)
-    out = resolve_bytes(src, lit_idx, literals)
+
+    flat = runtime.flatten_replay(kinds, lengths, d) \
+        if runtime.available() else None
+    if flat is not None:
+        out = replay_flat_tpu(flat[0], flat[1], literals, out_len)
+    else:
+        lit_base = (np.cumsum(lit_lens) - lit_lens).astype(np.int32)
+        t = len(starts)
+        tb = _token_bucket(t)
+        st = np.full(tb, out_len, np.int32)
+        st[:t] = starts
+        im = np.zeros(tb, bool)
+        im[:t] = is_match
+        dd = np.zeros(tb, np.int32)
+        dd[:t] = d
+        lb = np.zeros(tb, np.int32)
+        lb[:t] = lit_base
+        src, lit_idx = expand_tokens(jnp.asarray(st), jnp.asarray(im),
+                                     jnp.asarray(dd), jnp.asarray(lb),
+                                     out_len)
+        out = resolve_bytes(src, lit_idx, literals)
     res = np.asarray(jax.device_get(out))
     plane.check()
     return res.tobytes()

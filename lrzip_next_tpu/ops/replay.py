@@ -67,6 +67,76 @@ def resolve_bytes(src: jnp.ndarray, lit_idx: jnp.ndarray,
     return literals[lit_idx[src]]
 
 
+@functools.partial(jax.jit, static_argnames=("out_len",))
+def expand_flat(starts: jnp.ndarray, lit_base: jnp.ndarray,
+                out_len: int) -> jnp.ndarray:
+    """Per-byte literal index from an all-literal piece plan - NO
+    gathers: the per-piece constant (lit_base - start) is scattered at
+    piece starts and carried forward by a max-by-key associative scan
+    (key = piece index, so later pieces win); lit_idx[i] = const + i.
+
+    starts must be strictly ascending with starts[0] == 0; int32 pairs
+    keep this x64-free (chunks are < 2^31 bytes).
+    """
+    t = starts.shape[0]
+    starts32 = starts.astype(jnp.int32)
+    enc = (lit_base.astype(jnp.int32) - starts32 + out_len)  # >= 0
+    keys = jnp.full((out_len,), -1, jnp.int32).at[starts32].max(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
+    vals = jnp.zeros((out_len,), jnp.int32).at[starts32].max(
+        enc, mode="drop")
+
+    def op(a, b):
+        ak, av = a
+        bk, bv = b
+        take_b = bk >= ak
+        return jnp.where(take_b, bk, ak), jnp.where(take_b, bv, av)
+
+    _, carried = jax.lax.associative_scan(op, (keys, vals))
+    pos = jnp.arange(out_len, dtype=jnp.int32)
+    return carried - out_len + pos
+
+
+@jax.jit
+def gather_by_sort(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[i] = values[idx[i]] without per-element gathers (~40ns/elem
+    on TPU): merge-sort the dense value keys with the request keys,
+    carry each key's value forward across its run with one associative
+    scan, and unsort.  Two O((L+n) log) device sorts - the same trade
+    the matcher makes for permutation inversion."""
+    vals_i32 = values.astype(jnp.int32)
+    l = values.shape[0]
+    n = idx.shape[0]
+    key = jnp.concatenate([jnp.arange(l, dtype=jnp.int32),
+                           idx.astype(jnp.int32)])
+    flag = jnp.concatenate([jnp.zeros((l,), jnp.int32),
+                            jnp.ones((n,), jnp.int32)])
+    val = jnp.concatenate([vals_i32, jnp.zeros((n,), jnp.int32)])
+    pos = jnp.concatenate([jnp.arange(l, dtype=jnp.int32) + n,
+                           jnp.arange(n, dtype=jnp.int32)])
+    _, _, v1, p1 = jax.lax.sort((key, flag, val, pos), num_keys=2)
+    has = p1 >= n   # value rows (sorted before requests of equal key)
+
+    def op(a, b):
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh, bv, av), ah | bh
+
+    vv, _ = jax.lax.associative_scan(op, (v1, has))
+    _, out = jax.lax.sort((p1, vv), num_keys=1)
+    return out[:n].astype(jnp.uint8)
+
+
+def replay_flat_tpu(plan_len: np.ndarray, plan_lit: np.ndarray,
+                    literals_dev: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Device replay of a flattened (all-literal-source) piece plan."""
+    ends = np.cumsum(np.asarray(plan_len, np.int64))
+    starts = (ends - plan_len).astype(np.int64)
+    lit_idx = expand_flat(jnp.asarray(starts), jnp.asarray(plan_lit),
+                          out_len)
+    return gather_by_sort(literals_dev, lit_idx)
+
+
 def replay_tokens_tpu(kinds: np.ndarray, lengths: np.ndarray,
                       dists: np.ndarray, literals: np.ndarray) -> np.ndarray:
     """Full TPU-path replay of one chunk (no cross-chunk history:

@@ -62,6 +62,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.replay_tokens.restype = i64
         lib.replay_tokens.argtypes = [u8p, i64p, i64p, i64, u8p, i64,
                                       u8p, i64, u8p, i64]
+        lib.flatten_replay.restype = i64
+        lib.flatten_replay.argtypes = [u8p, i64p, i64p, i64, i64p, i64p,
+                                       i64]
         lib.lzo1x_encode.restype = i64
         lib.lzo1x_encode.argtypes = [u8p, i64, u8p, i64, i32p]
         lib.lzo1x_decode.restype = i64
@@ -166,6 +169,31 @@ def replay_tokens(kinds: np.ndarray, lens: np.ndarray, dists: np.ndarray,
     if ret < 0:
         raise ValueError("corrupt rzip token stream (native replay)")
     return buf[:ret]
+
+
+def flatten_replay(kinds: np.ndarray, lens: np.ndarray,
+                   dists: np.ndarray
+                   ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Resolve match chains at token granularity: (piece_lens,
+    piece_lit_offsets) where every output byte sources directly from
+    the literal stream.  None when the native runtime is unavailable,
+    the plan explodes (byte-RLE chains), or a distance reaches before
+    the chunk."""
+    lib = _load()
+    if lib is None:
+        return None
+    kinds = np.ascontiguousarray(kinds, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    dists = np.ascontiguousarray(dists, dtype=np.int64)
+    cap = 6 * max(len(kinds), 1) + 1024
+    out_len = np.empty(cap, dtype=np.int64)
+    out_lit = np.empty(cap, dtype=np.int64)
+    ret = lib.flatten_replay(_u8p(kinds), _i64p(lens), _i64p(dists),
+                             len(kinds), _i64p(out_len), _i64p(out_lit),
+                             cap)
+    if ret < 0:
+        return None
+    return out_len[:ret].copy(), out_lit[:ret].copy()
 
 
 def lzo1x_encode(data: bytes) -> Optional[bytes]:

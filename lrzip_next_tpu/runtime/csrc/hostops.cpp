@@ -14,9 +14,11 @@
 //
 // Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
 
 extern "C" {
 
@@ -163,6 +165,79 @@ int64_t replay_tokens(const uint8_t* kinds, const int64_t* lens,
         }
     }
     return op;
+}
+
+// Flatten rzip tokens into literal-source pieces: every output byte
+// attributed to a literal-stream range, match chains resolved at token
+// granularity (match-of-match follows the already-flattened plan).
+// This is the host half of the device replay: with all sources literal,
+// the per-byte literal index is a dense device computation and the
+// byte materialization becomes one batched reorder instead of
+// pointer-chasing gathers (ops/replay.py gather_by_sort).
+//
+// out_len/out_lit receive piece lengths / literal offsets in output
+// order.  Returns the piece count, or -1 when the plan would exceed
+// ``cap`` (pathological overlap chains, e.g. byte-RLE - the caller
+// falls back to sequential replay).
+int64_t flatten_replay(const uint8_t* kinds, const int64_t* lens,
+                       const int64_t* dists, int64_t n_tokens,
+                       int64_t* out_len, int64_t* out_lit, int64_t cap) {
+    std::vector<int64_t> pstart;  // piece output start
+    pstart.reserve((size_t)n_tokens);
+    int64_t np = 0;
+    int64_t op = 0;
+    int64_t lp = 0;
+
+    auto append = [&](int64_t lit, int64_t len) -> bool {
+        if (np > 0 && out_lit[np - 1] + out_len[np - 1] == lit) {
+            out_len[np - 1] += len;  // coalesce lit-continuous pieces
+            op += len;
+            return true;
+        }
+        if (np >= cap) return false;
+        pstart.resize((size_t)np + 1);
+        pstart[np] = op;
+        out_lit[np] = lit;
+        out_len[np] = len;
+        np++;
+        op += len;
+        return true;
+    };
+
+    for (int64_t i = 0; i < n_tokens; i++) {
+        int64_t len = lens[i];
+        if (len <= 0) continue;
+        if (kinds[i] == 0) {
+            if (!append(lp, len)) return -1;
+            lp += len;
+            continue;
+        }
+        int64_t dist = dists[i];
+        if (dist < 1 || dist > op) return -1;  // cross-chunk reach
+        int64_t s = op - dist;
+        int64_t remaining = len;
+        while (remaining > 0) {
+            // chunk bounded by dist so sources precede current op
+            int64_t m = remaining < dist ? remaining : dist;
+            int64_t e = s + m;
+            // pieces overlapping [s, e): binary search by output start
+            size_t j = (size_t)(std::upper_bound(pstart.begin(),
+                                                 pstart.begin() + np, s)
+                                - pstart.begin()) - 1;
+            int64_t cur = s;
+            while (cur < e) {
+                int64_t pb = pstart[j];
+                int64_t pe = pb + out_len[j];
+                int64_t take = (e < pe ? e : pe) - cur;
+                if (!append(out_lit[j] + (cur - pb), take)) return -1;
+                cur += take;
+                j++;
+            }
+            s += m;
+            remaining -= m;
+        }
+    }
+    return np;
 }
 
 // ----------------------------------------------------------------- lzo
