@@ -232,6 +232,7 @@ def main() -> int:
           f"({CHUNK_MB}MB chunk, median of {REPS})", file=sys.stderr)
 
     e2e_dev_c = e2e_dev_d = dev_ratio = None
+    dev_fail = None
     try:
         e2e_dev_c, e2e_dev_d, dev_ratio = bench_e2e_device(arr)
         print(f"[bench] device-resident e2e ({CHUNK_MB}MB chunk, "
@@ -239,7 +240,10 @@ def main() -> int:
               f"{e2e_dev_c:.1f} MB/s, decompress {e2e_dev_d:.1f} MB/s, "
               f"ratio {dev_ratio:.2f}x", file=sys.stderr)
     except Exception as e:
-        print(f"[bench] device e2e failed: {e}", file=sys.stderr)
+        # record the reason in the JSON line: a fallback headline must
+        # never be silent about WHY the e2e path failed
+        dev_fail = f"{type(e).__name__}: {e}"[:300]
+        print(f"[bench] device e2e failed: {dev_fail}", file=sys.stderr)
 
     try:
         e2e_c, e2e_d, ratio = bench_end_to_end(data[: 16 << 20])
@@ -271,6 +275,7 @@ def main() -> int:
             "value": round(mbps / 1000.0, 4),
             "unit": "GB/s",
             "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+            "device_e2e_failed": dev_fail,
         }))
     return 0
 

@@ -57,9 +57,12 @@ def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
     level = min(max(cfg.compression_level, 1), 9)
     from .. import runtime
     if runtime.available():
+        # bemt: pipelined match finder on a second thread (the
+        # reference's LzFindMt numThreads=2, src/stream.c:456)
         return runtime.lzma1_encode(
             data, level=level, dict_size=_dict_size(cfg, len(data)),
-            lc=LZMA_LC, lp=LZMA_LP, pb=LZMA_PB)
+            lc=LZMA_LC, lp=LZMA_LP, pb=LZMA_PB,
+            threads=2 if cfg.bemt else 1)
     comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW,
                                filters=_filters(cfg, len(data)))
     return comp.compress(data) + comp.flush()

@@ -413,7 +413,13 @@ def _pack_table(freqs: np.ndarray) -> bytes:
 
 
 def _unpack_table(blob: bytes, c_ctx: int) -> np.ndarray:
-    tri = np.frombuffer(zlib.decompress(blob), np.uint8).reshape(-1, 3)
+    try:
+        raw = zlib.decompress(blob)
+    except zlib.error as e:
+        raise ValueError(f"corrupt rans frequency table: {e}") from e
+    if len(raw) % 3 or len(raw) // 3 * 2 != c_ctx * 256:
+        raise ValueError("corrupt rans frequency table (size)")
+    tri = np.frombuffer(raw, np.uint8).reshape(-1, 3)
     a = tri[:, 0].astype(np.uint32) | ((tri[:, 1] & 0x0F).astype(
         np.uint32) << 8)
     b = (tri[:, 1] >> 4).astype(np.uint32) | (tri[:, 2].astype(

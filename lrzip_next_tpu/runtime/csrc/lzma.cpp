@@ -31,10 +31,15 @@
 // tests/test_reference_interop.py / tests/test_lzma_native.py.
 
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace tlz {
@@ -874,6 +879,150 @@ struct BtMatchFinder {
     }
 };
 
+// ------------------------------------------------ match sources -----
+// The optimal parser consumes matches through one of two sources: the
+// synchronous source (single-thread: finder interleaved with the
+// parse, parse-driven interior sampling) or the pipelined source - the
+// analog of the SDK's 2-thread match-finder pipeline (LzFindMt.c:
+// 440-786, hash thread -> btree thread -> encoder over ring-buffered
+// blocks; enabled via numThreads=2 at reference src/stream.c:456,
+// disabled by --nobemt).  Here one worker thread runs the whole BT4
+// walk ahead of the parser, applying the same deterministic nice-cut +
+// interior-sampling policy the sync path uses, so output depends only
+// on the data (never on scheduling).
+
+static void sample_skip(BtMatchFinder& mf, int64_t q0, int64_t q1) {
+    // interior sampling of positions covered by an accepted long
+    // match: head and tail fully indexed, interior every 8th (see the
+    // rationale at the parser's skip block)
+    if (q1 - q0 <= 80) {
+        for (int64_t q = q0; q < q1; q++) mf.skip(q);
+    } else {
+        for (int64_t q = q0; q < q0 + 32; q++) mf.skip(q);
+        for (int64_t q = q0 + 32; q < q1 - 32; q += 8) mf.skip(q);
+        for (int64_t q = q1 - 32; q < q1; q++) mf.skip(q);
+    }
+}
+
+struct SyncSource {
+    BtMatchFinder mf;
+    SyncSource(const U8* in, int64_t n, U32 dict, int cycles, int)
+        : mf(in, n, dict, cycles) {}
+    int get(int64_t p, U32* lens, U32* dists) {
+        return mf.get_matches(p, lens, dists);
+    }
+    void note_gap(int64_t q0, int64_t q1) { sample_skip(mf, q0, q1); }
+};
+
+struct AheadSource {
+    struct Block {
+        std::vector<int64_t> pos;
+        std::vector<uint8_t> np;
+        std::vector<U32> pairs;  // (len, dist) interleaved
+        bool eof = false;
+    };
+    static constexpr size_t kFlushEntries = 1 << 15;
+    static constexpr size_t kFlushPairs = 1 << 17;
+    static constexpr size_t kRing = 3;
+
+    BtMatchFinder mf;
+    const int64_t n;
+    const int nice;
+    std::mutex mu;
+    std::condition_variable cv_push, cv_pop;
+    std::deque<std::unique_ptr<Block>> q;
+    bool stop = false;
+    std::thread worker;
+
+    std::unique_ptr<Block> cur;
+    size_t ci = 0, poff = 0;
+
+    AheadSource(const U8* in, int64_t n_, U32 dict, int cycles, int nice_)
+        : mf(in, n_, dict, cycles), n(n_), nice(nice_) {
+        worker = std::thread([this] { run(); });
+    }
+    ~AheadSource() {
+        {
+            std::lock_guard<std::mutex> g(mu);
+            stop = true;
+        }
+        cv_push.notify_all();
+        if (worker.joinable()) worker.join();
+    }
+
+    void run() {
+        U32 lens[BtMatchFinder::kMaxPairs];
+        U32 dists[BtMatchFinder::kMaxPairs];
+        auto blk = std::make_unique<Block>();
+        auto flush = [&](bool eof) {
+            blk->eof = eof;
+            std::unique_lock<std::mutex> lk(mu);
+            cv_push.wait(lk, [&] { return q.size() < kRing || stop; });
+            if (stop) return false;
+            q.push_back(std::move(blk));
+            cv_pop.notify_one();
+            blk = std::make_unique<Block>();
+            return true;
+        };
+        int64_t pos = 0;
+        while (pos < n) {
+            int np = mf.get_matches(pos, lens, dists);
+            blk->pos.push_back(pos);
+            blk->np.push_back((uint8_t)np);
+            for (int a = 0; a < np; a++) {
+                blk->pairs.push_back(lens[a]);
+                blk->pairs.push_back(dists[a]);
+            }
+            if (np && (int)lens[np - 1] >= nice) {
+                // mirror the parser: a nice-len match is taken
+                // outright, its interior sample-skipped
+                int64_t L = (int64_t)lens[np - 1];
+                if (pos + L > n) L = n - pos;
+                sample_skip(mf, pos + 1, pos + L);
+                pos += L;
+            } else {
+                pos += 1;
+            }
+            if (blk->pos.size() >= kFlushEntries
+                || blk->pairs.size() >= kFlushPairs) {
+                if (!flush(false)) return;
+            }
+        }
+        flush(true);
+    }
+
+    int get(int64_t p, U32* lens, U32* dists) {
+        for (;;) {
+            if (!cur || ci >= cur->pos.size()) {
+                if (cur && cur->eof) return 0;
+                std::unique_lock<std::mutex> lk(mu);
+                cv_pop.wait(lk, [&] { return !q.empty(); });
+                cur = std::move(q.front());
+                q.pop_front();
+                cv_push.notify_one();
+                ci = 0;
+                poff = 0;
+                continue;
+            }
+            int enp = cur->np[ci];
+            int64_t ep = cur->pos[ci];
+            if (ep > p) return 0;  // worker sample-skipped p: no pairs
+            if (ep == p) {
+                for (int a = 0; a < enp; a++) {
+                    lens[a] = cur->pairs[poff + 2 * a];
+                    dists[a] = cur->pairs[poff + 2 * a + 1];
+                }
+                ci++;
+                poff += 2 * (size_t)enp;
+                return enp;
+            }
+            ci++;  // stale entry (parser jumped past it): discard
+            poff += 2 * (size_t)enp;
+        }
+    }
+    void note_gap(int64_t, int64_t) {}  // worker drives its own skips
+};
+
 // ---------------------------------------------------- emit helpers ---
 
 static void emit_rep(RangeEnc& rc, Probs& P, int& state, U32* reps,
@@ -937,8 +1086,10 @@ struct OptNode {
 constexpr U32 kBackLit = 0xFFFFFFFFu;
 constexpr U32 kBackShortRep = 0xFFFFFFFEu;
 
-int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
-                   int level, U32 dict_size, int lc, int lp, int pb) {
+template <class SRC>
+int64_t encode_opt_t(const U8* in, int64_t n, std::vector<U8>& out,
+                     int level, int lc, int lp, int pb, int nice,
+                     SRC& mf) {
     Probs P;
     P.init(lc, lp);
     RangeEnc rc(out);
@@ -947,10 +1098,6 @@ int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
     const int num_pos_states = 1 << pb;
     int state = 0;
     U32 reps[4] = {0, 0, 0, 0};
-
-    const int nice = level < 7 ? 32 : 64;     // fb (src/stream.c:455)
-    const int cycles = (16 + nice / 2) * (level >= 9 ? 2 : 1);
-    BtMatchFinder mf(in, n, dict_size, cycles);
 
     std::vector<OptNode> opt(kNumOpts + kMatchMaxLen + 1);
     LenPrices len_prices, rep_len_prices;
@@ -1117,7 +1264,7 @@ int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
             if (cut) break;
 
             // normal matches from BT4
-            int np = mf.get_matches(p, mlens, mdists);
+            int np = mf.get(p, mlens, mdists);
             searched = cur + 1;
             if (np && maxl_here >= kMatchMinLen) {
                 int maxlen = (int)mlens[np - 1];
@@ -1217,23 +1364,13 @@ int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
         // positions the DP never searched (inside the final accepted
         // matches / past the early cut) still need tree insertion so
         // later searches can find them.  Inside long matches the data
-        // is a repeat of an already-indexed region, so sample the
-        // interior instead of inserting every position (each BT
-        // insert is a full tree descent; the SDK pays it - its skip
-        // loop at LzFind.c:1374 - which is why BT4 crawls on highly
-        // repetitive data).  Head and tail stay fully indexed.
-        {
-            int64_t q0 = pos0 + searched, q1 = pos0 + len_end;
-            int64_t gap = q1 - q0;
-            if (gap <= 80) {
-                for (int64_t q = q0; q < q1; q++) mf.skip(q);
-            } else {
-                for (int64_t q = q0; q < q0 + 32; q++) mf.skip(q);
-                for (int64_t q = q0 + 32; q < q1 - 32; q += 8)
-                    mf.skip(q);
-                for (int64_t q = q1 - 32; q < q1; q++) mf.skip(q);
-            }
-        }
+        // is a repeat of an already-indexed region, so the sync source
+        // samples the interior instead of inserting every position
+        // (each BT insert is a full tree descent; the SDK pays it -
+        // its skip loop at LzFind.c:1374 - which is why BT4 crawls on
+        // highly repetitive data).  The pipelined source drives its
+        // own skips ahead of the parse.
+        mf.note_gap(pos0 + searched, pos0 + len_end);
         pos0 += len_end;
     }
 
@@ -1249,10 +1386,24 @@ int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
     return (int64_t)out.size();
 }
 
+int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
+                   int level, U32 dict_size, int lc, int lp, int pb,
+                   int threads) {
+    const int nice = level < 7 ? 32 : 64;     // fb (src/stream.c:455)
+    const int cycles = (16 + nice / 2) * (level >= 9 ? 2 : 1);
+    if (threads >= 2 && n > (1 << 16)) {
+        AheadSource src(in, n, dict_size, cycles, nice);
+        return encode_opt_t(in, n, out, level, lc, lp, pb, nice, src);
+    }
+    SyncSource src(in, n, dict_size, cycles, nice);
+    return encode_opt_t(in, n, out, level, lc, lp, pb, nice, src);
+}
+
 int64_t encode(const U8* in, int64_t n, std::vector<U8>& out, int level,
-               U32 dict_size, int lc, int lp, int pb) {
+               U32 dict_size, int lc, int lp, int pb, int threads) {
     if (level >= 5)  // normal mode: BT4 + optimal parse (SDK algo=1)
-        return encode_opt(in, n, out, level, dict_size, lc, lp, pb);
+        return encode_opt(in, n, out, level, dict_size, lc, lp, pb,
+                          threads);
     Probs P;
     P.init(lc, lp);
     RangeEnc rc(out);
@@ -1410,15 +1561,18 @@ int64_t encode(const U8* in, int64_t n, std::vector<U8>& out, int level,
 extern "C" {
 
 // Raw LZMA1 encode; returns bytes written, or -1 when the result would
-// exceed cap.
+// exceed cap.  threads >= 2 enables the pipelined match finder (the
+// LzFindMt analog, reference src/lzma/C/LzFindMt.c via numThreads at
+// src/stream.c:456; --nobemt passes 1).
 int64_t lzma1_encode(const uint8_t* in, int64_t n, uint8_t* out,
                      int64_t cap, int level, uint32_t dict_size,
-                     int lc, int lp, int pb) {
+                     int lc, int lp, int pb, int threads) {
     if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
         return -1;
     std::vector<uint8_t> buf;
     buf.reserve((size_t)(n / 2 + 256));
-    int64_t r = tlz::encode(in, n, buf, level, dict_size, lc, lp, pb);
+    int64_t r = tlz::encode(in, n, buf, level, dict_size, lc, lp, pb,
+                            threads);
     if (r < 0 || r > cap) return -1;
     std::memcpy(out, buf.data(), (size_t)r);
     return r;
