@@ -55,7 +55,8 @@ def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
     level = min(max(cfg.zpaq_level or 4, 1), 5)
     bs = min(max(cfg.zpaq_bs or 6, 1), 11)
     return runtime.zpaq_encode(data, level, bs,
-                               redundancy=_redundancy(data))
+                               redundancy=_redundancy(data),
+                               threads=2 if cfg.bemt else 1)
 
 
 def decompress(payload: bytes, u_len: int, cfg: BackendConfig) -> bytes:
@@ -63,7 +64,8 @@ def decompress(payload: bytes, u_len: int, cfg: BackendConfig) -> bytes:
     if not runtime.available():
         raise NotImplementedError(
             "zpaq backend needs the native runtime (g++ not available)")
-    out = runtime.zpaq_decode(payload, u_len)
+    out = runtime.zpaq_decode(payload, u_len,
+                              threads=2 if cfg.bemt else 1)
     return out
 
 

@@ -74,14 +74,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.zpaq_encode.argtypes = [u8p, i64, u8p, i64, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_char_p,
-                                    ctypes.c_int]
+                                    ctypes.c_int, ctypes.c_int]
         lib.parse_token_stream.restype = i64
         lib.parse_token_stream.argtypes = [u8p, i64, i64, u8p, i64p, i64p,
                                            ctypes.POINTER(ctypes.c_uint32),
                                            ctypes.POINTER(ctypes.c_int64)]
         lib.zpaq_decode.restype = i64
         lib.zpaq_decode.argtypes = [u8p, i64, u8p, i64, ctypes.c_char_p,
-                                    ctypes.c_int]
+                                    ctypes.c_int, ctypes.c_int]
         lib.bwt_block_encode.restype = i64
         lib.bwt_block_encode.argtypes = [u8p, i64, u8p, i64]
         u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -228,10 +228,12 @@ def lzo1x_decode(payload: bytes, u_len: int) -> Optional[bytes]:
 
 
 def zpaq_encode(data: bytes, level: int = 4, block_bits: int = 6,
-                redundancy: int = -1, texttype: int = -1
-                ) -> Optional[bytes]:
+                redundancy: int = -1, texttype: int = -1,
+                threads: int = 1) -> Optional[bytes]:
     """redundancy: 0 (hard) .. 255 (easy) from the lz4 gate, -1 neutral;
-    texttype: 1 text / 0 binary / -1 infer (reference stream.c:304-309)."""
+    texttype: 1 text / 0 binary / -1 infer (reference stream.c:304-309);
+    threads >= 2 splits into independent blocks coded in parallel (the
+    backend-MT dial; --nobemt forces 1)."""
     lib = _load()
     if lib is None:
         return None
@@ -241,7 +243,7 @@ def zpaq_encode(data: bytes, level: int = 4, block_bits: int = 6,
     err = ctypes.create_string_buffer(256)
     ret = lib.zpaq_encode(_u8p(src), len(data), _u8p(out), cap,
                           level, block_bits, redundancy, texttype,
-                          err, 256)
+                          err, 256, threads)
     if ret < 0:
         msg = err.value.decode("utf-8", "replace")
         if msg:
@@ -250,7 +252,8 @@ def zpaq_encode(data: bytes, level: int = 4, block_bits: int = 6,
     return out[:ret].tobytes()
 
 
-def zpaq_decode(payload: bytes, u_len: int) -> Optional[bytes]:
+def zpaq_decode(payload: bytes, u_len: int,
+                threads: int = 1) -> Optional[bytes]:
     lib = _load()
     if lib is None:
         return None
@@ -258,7 +261,7 @@ def zpaq_decode(payload: bytes, u_len: int) -> Optional[bytes]:
     out = np.empty(max(u_len, 1), dtype=np.uint8)
     err = ctypes.create_string_buffer(256)
     ret = lib.zpaq_decode(_u8p(src), len(payload), _u8p(out), u_len,
-                          err, 256)
+                          err, 256, threads)
     if ret < 0:
         raise ValueError("corrupt zpaq block: "
                          + err.value.decode("utf-8", "replace"))

@@ -32,6 +32,9 @@
 #include <vector>
 #include <string>
 #include <stdexcept>
+#include <atomic>
+#include <mutex>
+#include <thread>
 
 #include "zpaq_statetable.inc"
 
@@ -663,10 +666,412 @@ struct Model {
 
 // --------------------------------------------------- range coder ------
 
+// ---------------- specialized CM evaluator (the libzpaq JIT analog) --
+// libzpaq JIT-compiles each model's component loop to x86 at runtime
+// (libzpaq.cpp Predictor rcode sections); this resolves the same
+// specialization at C++ compile time for the topology family our
+// build_model() emits: ICM -> chained ISSE x5 -> MATCH -> optional
+// word ICM+ISSE -> optional periodic ICM[+ISSE] x2 -> MIX over all.
+// No component dispatch, no header walking, predictions in locals, and
+// all nibble-boundary hash-row probes issued back-to-back so their
+// cache misses overlap (the interpreter issues them serially between
+// component evaluations - the main stall on the decode side, which
+// cannot prefetch the unknown next byte).  Arithmetic is bit-identical
+// to Model; the interpreter remains the general path for foreign
+// archives (tests cross-decode both ways and against the libzpaq
+// oracle).
+
+struct FastShape {
+    bool ok = false;
+    bool word = false;
+    int nper = 0;
+    bool per_isse = false;
+    int bits[16] = {0};   // cp[1] per component
+    int match_b2 = 0;     // MATCH cp[2] (history ring bits)
+    int mix_rate = 24, mix_mask = 255;
+    int n = 0;
+};
+
+// Parse a COMP section; shape.ok iff it is exactly a build_model()
+// topology (so FastModelT's unrolled order applies).
+static FastShape parse_fast_shape(const VM& z) {
+    FastShape s;
+    int n = z.header[6];
+    const U8* cp = &z.header[7];
+    const U8* ecp[16];
+    if (n < 8 || n > 14) return s;
+    for (int i = 0; i < n; i++) {
+        ecp[i] = cp;
+        if (cp[0] < 1 || cp[0] > 9) return s;
+        cp += kCompSize[cp[0]];
+    }
+    if (ecp[0][0] != ICM) return s;
+    s.bits[0] = ecp[0][1];
+    for (int k = 1; k <= 5; k++) {
+        if (ecp[k][0] != ISSE || ecp[k][2] != k - 1) return s;
+        s.bits[k] = ecp[k][1];
+    }
+    if (ecp[6][0] != MATCH) return s;
+    s.bits[6] = ecp[6][1];
+    s.match_b2 = ecp[6][2];
+    int i = 7;
+    if (ecp[i][0] == ICM && i + 1 < n && ecp[i + 1][0] == ISSE
+        && ecp[i + 1][2] == i) {
+        // a leading ICM+ISSE pair is the word model; periodic pairs
+        // follow (build_model emits word before periodic)
+        s.word = true;
+        s.bits[i] = ecp[i][1];
+        s.bits[i + 1] = ecp[i + 1][1];
+        i += 2;
+    }
+    while (i < n - 1) {
+        if (ecp[i][0] != ICM || s.nper >= 2) return s;
+        s.bits[i] = ecp[i][1];
+        bool chained = i + 2 < n && ecp[i + 1][0] == ISSE
+                       && ecp[i + 1][2] == i;
+        if (s.nper == 0) s.per_isse = chained;
+        else if (s.per_isse != chained) return s;
+        if (chained) {
+            s.bits[i + 1] = ecp[i + 1][1];
+            i += 2;
+        } else {
+            i += 1;
+        }
+        s.nper++;
+    }
+    const U8* mx = ecp[n - 1];
+    if (mx[0] != MIX || mx[1] != 16 || mx[2] != 0 || mx[3] != n - 1)
+        return s;
+    s.mix_rate = mx[4];
+    s.mix_mask = mx[5];
+    s.n = n;
+    s.ok = true;
+    return s;
+}
+
+// assembled by the model builder (defined with build_model below);
+// FastModelT byte-compares the archive's HCOMP against it to decide
+// whether the native hash routine may replace the ZPAQL interpreter
+static std::vector<U8> build_hcomp(int n, int word, const int* periods,
+                                   int nper, bool per_isse);
+
+static inline size_t ffind(U8* ht, size_t mask16, int sizebits, U32 cxt) {
+    // identical replacement policy to Model::find
+    int chk = (cxt >> sizebits) & 255;
+    size_t h0 = ((size_t)cxt * 16) & mask16;
+    if (ht[h0] == chk) return h0;
+    size_t h1 = h0 ^ 16;
+    if (ht[h1] == chk) return h1;
+    size_t h2 = h0 ^ 32;
+    if (ht[h2] == chk) return h2;
+    size_t hx;
+    if (ht[h0 + 1] <= ht[h1 + 1] && ht[h0 + 1] <= ht[h2 + 1]) hx = h0;
+    else if (ht[h1 + 1] < ht[h2 + 1]) hx = h1;
+    else hx = h2;
+    std::memset(&ht[hx], 0, 16);
+    ht[hx] = (U8)chk;
+    return hx;
+}
+
+template <bool WORD, int NPER, bool PER_ISSE>
+struct FastModelT {
+    static constexpr int NW = WORD ? 2 : 0;
+    static constexpr int NP = NPER * (PER_ISSE ? 2 : 1);
+    static constexpr int N = 7 + NW + NP + 1;   // + final MIX
+    static constexpr int M = N - 1;             // mixer inputs
+
+    VM& z;
+    FastShape shape;
+    int c8 = 1, hmap4 = 1;
+    U32 hh[N];
+    int p[N];
+
+    std::vector<U8> ht[N];     // ICM/ISSE rows; [6] = MATCH history
+    std::vector<U32> cmv[N];   // ICM cm / ISSE weights / MATCH heads
+    size_t hmask16[N];         // ht.size() - 16 for ffind
+    int sbits[N];              // cp[1] + 2 (ffind's chk shift)
+    U32 irow[N];               // current nibble row (ICM/ISSE)
+    U32 icxt[N];               // current bit-history state
+    U32 ma = 0, mb = 0, mc = 0, mcxt = 0, mlimit = 0;   // MATCH
+    size_t mhmask = 0, mcmask = 0;
+    std::vector<int> mixw;
+    U32 mixcxt = 0;
+    bool fast_hc = false;   // native HCOMP (byte-verified against the
+                            // archive's program)
+    U32 wordh = 0;          // persistent word-hash slot (H[7])
+
+    FastModelT(VM& zr, const FastShape& fs) : z(zr), shape(fs) {}
+    bool is_modeled() const { return true; }
+
+    // Native equivalent of build_model's HCOMP: ring-store the byte,
+    // chained order-1..5 hashes into H[1..5], order-7 into H[6], the
+    // case-folded word hash pair, and byte<<8 for the mixer context.
+    // Used only when the archive's HCOMP bytes equal build_hcomp's.
+    inline void run_hcomp(U32 ch) {
+        VM& v = z;
+        const size_t mm = v.m.size() - 1;
+        v.c += 1;
+        v.m[v.c & mm] = (U8)ch;
+        U32 b = v.c;
+        U32 a = (v.m[b & mm] + 512u) * 773u;
+        hh[1] = a;
+        for (int k = 2; k <= 5; k++) {
+            b--;
+            a = (a + v.m[b & mm] + 512u) * 773u;
+            hh[k] = a;
+        }
+        b--;
+        a = (a + v.m[b & mm] + 512u) * 773u;
+        b--;
+        a = (a + v.m[b & mm] + 512u) * 773u;
+        hh[6] = a;
+        if (WORD) {
+            U32 x = ch & ~32u;
+            if (x > 64 && x < 91) wordh = (wordh + x + 512u) * 773u;
+            else wordh = 0;
+            hh[7] = wordh;
+            hh[8] = (wordh + v.m[(v.c - 1) & mm] + 512u) * 773u;
+        }
+        hh[N - 1] = ch << 8;
+    }
+
+    void init() {
+        build_tables();
+        z.init_h();
+        c8 = 1;
+        hmap4 = 1;
+        for (int i = 0; i < N; i++) {
+            hh[i] = 0;
+            p[i] = 0;
+            irow[i] = 0;
+            icxt[i] = 0;
+        }
+        auto init_icm = [&](int i) {
+            ht[i].assign((size_t)64 << shape.bits[i], 0);
+            hmask16[i] = ht[i].size() - 16;
+            sbits[i] = shape.bits[i] + 2;
+            cmv[i].resize(256);
+            for (int j = 0; j < 256; j++)
+                cmv[i][j] = Model::st_cminit(j);
+        };
+        auto init_isse = [&](int i) {
+            ht[i].assign((size_t)64 << shape.bits[i], 0);
+            hmask16[i] = ht[i].size() - 16;
+            sbits[i] = shape.bits[i] + 2;
+            cmv[i].resize(512);
+            for (int j = 0; j < 256; j++) {
+                cmv[i][j * 2] = 1 << 15;
+                cmv[i][j * 2 + 1] = (U32)clamp512k(
+                    stretch(Model::st_cminit(j) >> 8) * 1024);
+            }
+        };
+        init_icm(0);
+        for (int k = 1; k <= 5; k++) init_isse(k);
+        cmv[6].assign((size_t)1 << shape.bits[6], 0);
+        ht[6].assign((size_t)1 << shape.match_b2, 0);
+        ht[6][0] = 1;
+        mhmask = ht[6].size() - 1;
+        mcmask = cmv[6].size() - 1;
+        ma = mb = mc = mcxt = mlimit = 0;
+        if (WORD) {
+            init_icm(7);
+            init_isse(8);
+        }
+        for (int g = 0; g < NPER; g++) {
+            int i = 7 + NW + g * (PER_ISSE ? 2 : 1);
+            init_icm(i);
+            if (PER_ISSE) init_isse(i + 1);
+        }
+        mixw.assign((size_t)65536 * M, 65536 / M);
+        mixcxt = 0;
+        wordh = 0;
+        fast_hc = false;
+        if (NPER == 0) {
+            std::vector<U8> exp = build_hcomp(N, WORD ? 1 : 0, nullptr,
+                                              0, false);
+            int hlen = z.hend - z.hbegin - 1;  // minus the terminator
+            fast_hc = (int)exp.size() == hlen
+                      && std::memcmp(&z.header[z.hbegin], exp.data(),
+                                     (size_t)hlen) == 0;
+        }
+    }
+
+    inline void nibble_rows() {
+        // all find() probe chains issued together: independent loads
+        // overlap instead of serializing behind each component's ALU.
+        // The h0 prefetch pass puts every table's (likely) line in
+        // flight before any find's branches resolve.
+        const U32 cc = 16 * (U32)c8;
+        for (int i = 0; i < N - 1; i++) {
+            if (i == 6) continue;
+            __builtin_prefetch(
+                &ht[i][((size_t)(hh[i] + cc) * 16) & hmask16[i]]);
+        }
+        irow[0] = (U32)ffind(ht[0].data(), hmask16[0], sbits[0],
+                             hh[0] + cc);
+        for (int k = 1; k <= 5; k++)
+            irow[k] = (U32)ffind(ht[k].data(), hmask16[k], sbits[k],
+                                 hh[k] + cc);
+        if (WORD) {
+            irow[7] = (U32)ffind(ht[7].data(), hmask16[7], sbits[7],
+                                 hh[7] + cc);
+            irow[8] = (U32)ffind(ht[8].data(), hmask16[8], sbits[8],
+                                 hh[8] + cc);
+        }
+        for (int g = 0; g < NPER; g++) {
+            int i = 7 + NW + g * (PER_ISSE ? 2 : 1);
+            irow[i] = (U32)ffind(ht[i].data(), hmask16[i], sbits[i],
+                                 hh[i] + cc);
+            if (PER_ISSE)
+                irow[i + 1] = (U32)ffind(ht[i + 1].data(),
+                                         hmask16[i + 1], sbits[i + 1],
+                                         hh[i + 1] + cc);
+        }
+    }
+
+    inline int pred_icm(int i) {
+        icxt[i] = ht[i][irow[i] + (hmap4 & 15)];
+        return stretch((int)(cmv[i][icxt[i]] >> 8));
+    }
+    inline int pred_isse(int i, int pin) {
+        icxt[i] = ht[i][irow[i] + (hmap4 & 15)];
+        const int* wt = (const int*)&cmv[i][icxt[i] * 2];
+        return clamp2k((wt[0] * pin + wt[1] * 64) >> 16);
+    }
+    inline void upd_icm(int i, int y) {
+        ht[i][irow[i] + (hmap4 & 15)] =
+            (U8)Model::st_next((int)icxt[i], y);
+        U32& pn = cmv[i][icxt[i]];
+        pn += (U32)((int)(y * 32767 - (int)(pn >> 8)) >> 2);
+    }
+    inline void upd_isse(int i, int pin, int y) {
+        int err = y * 32767 - squash(p[i]);
+        int* wt = (int*)&cmv[i][icxt[i] * 2];
+        wt[0] = clamp512k(wt[0] + ((err * pin + (1 << 12)) >> 13));
+        wt[1] = clamp512k(wt[1] + ((err + 16) >> 5));
+        ht[i][irow[i] + (hmap4 & 15)] =
+            (U8)Model::st_next((int)icxt[i], y);
+    }
+
+    int predict() {
+        if (c8 == 1 || (c8 & 0xf0) == 16) nibble_rows();
+        p[0] = pred_icm(0);
+        for (int k = 1; k <= 5; k++) p[k] = pred_isse(k, p[k - 1]);
+        if (ma == 0) {
+            p[6] = 0;
+        } else {
+            mc = (ht[6][(mlimit - mb) & mhmask] >> (7 - mcxt)) & 1;
+            p[6] = stretch((g_dt2k[ma] * ((int)mc * -2 + 1)) & 32767);
+        }
+        if (WORD) {
+            p[7] = pred_icm(7);
+            p[8] = pred_isse(8, p[7]);
+        }
+        for (int g = 0; g < NPER; g++) {
+            int i = 7 + NW + g * (PER_ISSE ? 2 : 1);
+            p[i] = pred_icm(i);
+            if (PER_ISSE) p[i + 1] = pred_isse(i + 1, p[i]);
+        }
+        mixcxt = (hh[N - 1] + ((U32)c8 & (U32)shape.mix_mask)) & 65535;
+        const int* wt = &mixw[(size_t)mixcxt * M];
+        int s = 0;
+        for (int j = 0; j < M; j++) s += (wt[j] >> 8) * p[j];
+        p[N - 1] = clamp2k(s >> 8);
+        return squash(p[N - 1]);
+    }
+
+    void update(int y) {
+        upd_icm(0, y);
+        for (int k = 1; k <= 5; k++) upd_isse(k, p[k - 1], y);
+        // MATCH (identical to Model's)
+        if ((int)mc != y) ma = 0;
+        {
+            U8& hb = ht[6][mlimit & mhmask];
+            hb = (U8)(hb * 2 + y);
+        }
+        if (++mcxt == 8) {
+            mcxt = 0;
+            ++mlimit;
+            mlimit &= (U32)mhmask;
+            if (ma == 0) {
+                mb = mlimit - cmv[6][hh[6] & mcmask];
+                if (mb & mhmask)
+                    while (ma < 255
+                           && ht[6][(mlimit - ma - 1) & mhmask]
+                              == ht[6][(mlimit - ma - mb - 1) & mhmask])
+                        ++ma;
+            } else {
+                ma += ma < 255;
+            }
+            cmv[6][hh[6] & mcmask] = mlimit;
+        }
+        if (WORD) {
+            upd_icm(7, y);
+            upd_isse(8, p[7], y);
+        }
+        for (int g = 0; g < NPER; g++) {
+            int i = 7 + NW + g * (PER_ISSE ? 2 : 1);
+            upd_icm(i, y);
+            if (PER_ISSE) upd_isse(i + 1, p[i], y);
+        }
+        {
+            int err = (y * 32767 - squash(p[N - 1])) * shape.mix_rate
+                      >> 4;
+            int* wt = &mixw[(size_t)mixcxt * M];
+            for (int j = 0; j < M; j++)
+                wt[j] = clamp512k(
+                    wt[j] + ((err * p[j] + (1 << 12)) >> 13));
+        }
+        c8 += c8 + y;
+        if (c8 >= 256) {
+            if (fast_hc) {
+                run_hcomp((U32)(c8 - 256));
+            } else {
+                z.run(c8 - 256);
+                for (int i = 0; i < N; i++) hh[i] = z.H(i);
+            }
+            hmap4 = 1;
+            c8 = 1;
+        } else if (c8 >= 16 && c8 < 32) {
+            hmap4 = (hmap4 & 0xf) << 5 | y << 4 | 1;
+        } else {
+            hmap4 = (hmap4 & 0x1f0) | (((hmap4 & 0xf) * 2 + y) & 0xf);
+        }
+    }
+
+    // Encode-side: the byte is known before its bits are coded, so
+    // both nibbles' rows can start loading now (Model::prefetch_byte)
+    void prefetch_byte(int ch) {
+        const U32 c8a = 16, c8b = 16 * (U32)(16 + (ch >> 4));
+        auto pf = [&](int i) {
+            for (U32 cc : {c8a, c8b}) {
+                size_t h0 = ((size_t)(hh[i] + cc) * 16) & hmask16[i];
+                __builtin_prefetch(&ht[i][h0]);
+                __builtin_prefetch(&ht[i][h0 ^ 16]);
+                __builtin_prefetch(&ht[i][h0 ^ 32]);
+            }
+        };
+        pf(0);
+        for (int k = 1; k <= 5; k++) pf(k);
+        if (WORD) {
+            pf(7);
+            pf(8);
+        }
+        for (int g = 0; g < NPER; g++) {
+            int i = 7 + NW + g * (PER_ISSE ? 2 : 1);
+            pf(i);
+            if (PER_ISSE) pf(i + 1);
+        }
+        __builtin_prefetch(&cmv[6][hh[6] & mcmask]);
+        __builtin_prefetch(&ht[6][(mlimit - mb) & mhmask]);
+    }
+};
+
+template <class PRED = Model>
 struct RangeDecoder {
     Source* in = nullptr;
     U32 low = 1, high = 0xFFFFFFFF, curr = 0;
-    Model* pr = nullptr;
+    PRED* pr = nullptr;
 
     void init(bool modeled) {
         if (modeled) { low = 1; high = 0xFFFFFFFF; curr = 0; }
@@ -676,9 +1081,12 @@ struct RangeDecoder {
     int decode(int p) {
         if (curr < low || curr > high) throw Err("archive corrupted");
         U32 mid = low + (U32)(((U64)(high - low) * (U32)p) >> 16);
-        int y;
-        if (curr <= mid) { y = 1; high = mid; }
-        else { y = 0; low = mid + 1; }
+        // branchless select: y is entropy by construction, so the
+        // branch form mispredicts ~half the time
+        int y = curr <= mid;
+        U32 m1 = (U32)-y;
+        high = (high & ~m1) | (mid & m1);
+        low = (low & m1) | ((mid + 1) & ~m1);
         while ((high ^ low) < 0x1000000) {
             high = high << 8 | 255;
             low = low << 8;
@@ -717,16 +1125,19 @@ struct RangeDecoder {
     }
 };
 
+template <class PRED = Model>
 struct RangeEncoder {
     Sink* out = nullptr;
     U32 low = 1, high = 0xFFFFFFFF;
-    Model* pr = nullptr;
+    PRED* pr = nullptr;
 
     void init() { low = 1; high = 0xFFFFFFFF; pr->init(); }
 
     void encode(int y, int p) {
         U32 mid = low + (U32)(((U64)(high - low) * (U32)p) >> 16);
-        if (y) high = mid; else low = mid + 1;
+        U32 m1 = (U32)-(y != 0);
+        high = (high & ~m1) | (mid & m1);
+        low = (low & m1) | ((mid + 1) & ~m1);
         while ((high ^ low) < 0x1000000) {
             out->put(high >> 24);
             high = high << 8 | 255;
@@ -1090,67 +1501,175 @@ struct PostProc {
 };
 
 // Decompress every block in the stream.
-static int64_t decode_stream(Source& in, Sink& out) {
-    build_tables();
+template <class PRED>
+static void decode_block_segments(Source& in, Sink& out, VM& z,
+                                  PRED& model) {
+    RangeDecoder<PRED> dec;
+    dec.in = &in;
+    dec.pr = &model;
+    bool first_seg = true;
+    PostProc pp;
     for (;;) {
-        // scan for locator tag + "zPQ"
-        int matched = 0;
-        int ch;
-        while ((ch = in.get()) != -1) {
-            if (ch == (matched < 13 ? kTag[matched]
-                                    : "zPQ"[matched - 13])) {
-                if (++matched == 16) break;
-            } else {
-                matched = (ch == kTag[0]) ? 1 : 0;
-            }
+        int c1 = in.get();
+        if (c1 == 255) break;  // end of block
+        if (c1 != 1) throw Err("missing segment");
+        while ((c1 = in.get()) != 0)
+            if (c1 < 0) throw Err("EOF in filename");
+        while ((c1 = in.get()) != 0)
+            if (c1 < 0) throw Err("EOF in comment");
+        if (in.get() != 0) throw Err("missing reserved byte");
+        if (first_seg) {
+            model.init();
+            dec.init(model.is_modeled());
+            pp.init(z.header[4], z.header[5]);
+            first_seg = false;
         }
-        if (ch == -1) break;  // no more blocks
-        int level = in.get();
-        if (level != 1 && level != 2) throw Err("unsupported ZPAQ level");
-        if (in.get() != 1) throw Err("unsupported ZPAQL type");
-        VM z;
-        z.read_header(in);
-        if (level == 1 && z.header[6] == 0)
-            throw Err("level 1 needs at least 1 component");
-        Model model(z);
-        RangeDecoder dec;
-        dec.in = &in;
-        dec.pr = &model;
-        bool first_seg = true;
-        PostProc pp;
+        // decompress segment data until EOS, feeding postprocessor.
+        // The 4 zero trailer bytes are consumed by the decoder's EOS
+        // normalisation (curr must land at 0), so the checksum
+        // marker follows immediately.
         for (;;) {
-            int c1 = in.get();
-            if (c1 == 255) break;  // end of block
-            if (c1 != 1) throw Err("missing segment");
-            while ((c1 = in.get()) != 0)
-                if (c1 < 0) throw Err("EOF in filename");
-            while ((c1 = in.get()) != 0)
-                if (c1 < 0) throw Err("EOF in comment");
-            if (in.get() != 0) throw Err("missing reserved byte");
-            if (first_seg) {
-                model.init();
-                dec.init(model.is_modeled());
-                pp.init(z.header[4], z.header[5]);
-                first_seg = false;
-            }
-            // decompress segment data until EOS, feeding postprocessor.
-            // The 4 zero trailer bytes are consumed by the decoder's EOS
-            // normalisation (curr must land at 0), so the checksum
-            // marker follows immediately.
-            for (;;) {
-                int c2 = dec.decompress();
-                pp.write(c2, out);
-                if (c2 == -1) break;
-            }
-            int cs = in.get();
-            if (cs == 253) {
-                for (int i = 0; i < 20; i++) in.get();  // skip sha1
-            } else if (cs != 254) {
-                throw Err("missing end of segment marker");
-            }
+            int c2 = dec.decompress();
+            pp.write(c2, out);
+            if (c2 == -1) break;
         }
-        if (out.overflow) throw Err("output buffer overflow");
+        int cs = in.get();
+        if (cs == 253) {
+            for (int i = 0; i < 20; i++) in.get();  // skip sha1
+        } else if (cs != 254) {
+            throw Err("missing end of segment marker");
+        }
     }
+    if (out.overflow) throw Err("output buffer overflow");
+}
+
+// Decode one block; in.pos must sit right after the tag + "zPQ".
+static void decode_one_block(Source& in, Sink& out) {
+    int level = in.get();
+    if (level != 1 && level != 2) throw Err("unsupported ZPAQ level");
+    if (in.get() != 1) throw Err("unsupported ZPAQL type");
+    VM z;
+    z.read_header(in);
+    if (level == 1 && z.header[6] == 0)
+        throw Err("level 1 needs at least 1 component");
+    // our own CM topologies decode through the specialized
+    // evaluator; anything else through the spec interpreter
+    FastShape fs = parse_fast_shape(z);
+    if (fs.ok && !fs.word && fs.nper == 0) {
+        FastModelT<false, 0, false> m(z, fs);
+        decode_block_segments(in, out, z, m);
+    } else if (fs.ok && fs.word && fs.nper == 0) {
+        FastModelT<true, 0, false> m(z, fs);
+        decode_block_segments(in, out, z, m);
+    } else if (fs.ok && fs.word && fs.nper == 1 && fs.per_isse) {
+        FastModelT<true, 1, true> m(z, fs);
+        decode_block_segments(in, out, z, m);
+    } else if (fs.ok && fs.word && fs.nper == 2 && fs.per_isse) {
+        FastModelT<true, 2, true> m(z, fs);
+        decode_block_segments(in, out, z, m);
+    } else {
+        Model m(z);
+        decode_block_segments(in, out, z, m);
+    }
+}
+
+// Advance past the tag; returns false at EOF.
+static bool scan_tag(Source& in) {
+    int matched = 0;
+    int ch;
+    while ((ch = in.get()) != -1) {
+        if (ch == (matched < 13 ? kTag[matched] : "zPQ"[matched - 13])) {
+            if (++matched == 16) return true;
+        } else {
+            matched = (ch == kTag[0]) ? 1 : 0;
+        }
+    }
+    return false;
+}
+
+// The declared output size of the block at `pos` (right after its
+// tag), from the first segment's size comment; -1 when absent or
+// non-numeric (foreign encoders may omit it).
+static int64_t peek_block_size(const Source& base, int64_t pos) {
+    Source in{base.p, pos, base.len};
+    if (in.get() == -1) return -1;   // level
+    if (in.get() != 1) return -1;
+    int hsize = in.get();
+    int c2 = in.get();
+    if (c2 < 0) return -1;
+    hsize += c2 * 256;
+    in.pos += hsize;                  // header body
+    if (in.pos >= in.len) return -1;
+    if (in.get() != 1) return -1;     // segment marker
+    int c;
+    while ((c = in.get()) != 0)
+        if (c < 0) return -1;         // filename
+    int64_t size = 0;
+    bool any = false;
+    while ((c = in.get()) != 0) {
+        if (c < '0' || c > '9' || size > ((int64_t)1 << 53)) return -1;
+        size = size * 10 + (c - '0');
+        any = true;
+    }
+    return any ? size : -1;
+}
+
+static int64_t decode_stream(Source& in, Sink& out, int threads = 1) {
+    build_tables();
+    if (threads >= 2) {
+        // parallel block decode: blocks are independent; their output
+        // offsets come from the size comments our encoder writes (the
+        // locator-tag scan is the spec's own random-access mechanism).
+        // Any irregularity falls back to the serial path below.
+        std::vector<int64_t> starts, sizes;
+        Source scan{in.p, in.pos, in.len};
+        bool ok = true;
+        while (scan_tag(scan)) {
+            int64_t sz = peek_block_size(scan, scan.pos);
+            if (sz < 0) { ok = false; break; }
+            starts.push_back(scan.pos);
+            sizes.push_back(sz);
+        }
+        if (ok && starts.size() > 1) {
+            std::vector<int64_t> offs(starts.size() + 1, 0);
+            for (size_t i = 0; i < sizes.size(); i++)
+                offs[i + 1] = offs[i] + sizes[i];
+            if (offs.back() > out.cap - out.pos)
+                throw Err("output buffer overflow");
+            std::atomic<size_t> next{0};
+            std::atomic<bool> fail{false};
+            char emsg[128] = {0};
+            std::mutex emu;
+            auto work = [&]() {
+                for (size_t i;
+                     (i = next.fetch_add(1)) < starts.size();) {
+                    int64_t end = i + 1 < starts.size()
+                        ? starts[i + 1] : in.len;
+                    Source bin{in.p, starts[i], end};
+                    Sink bout{out.p + out.pos + offs[i], 0, sizes[i]};
+                    try {
+                        decode_one_block(bin, bout);
+                        if (bout.pos != sizes[i] || bout.overflow)
+                            throw Err("block size mismatch");
+                    } catch (const std::exception& e) {
+                        std::lock_guard<std::mutex> g(emu);
+                        std::snprintf(emsg, sizeof emsg, "%s",
+                                      e.what());
+                        fail = true;
+                        return;
+                    }
+                }
+            };
+            std::thread t2(work);
+            work();
+            t2.join();
+            if (fail) throw Err(emsg);
+            out.pos += offs.back();
+            in.pos = in.len;
+            return out.pos;
+        }
+    }
+    while (scan_tag(in)) decode_one_block(in, out);
     return out.pos;
 }
 
@@ -1226,9 +1745,40 @@ static std::vector<U8> build_model(int sb, int word = 0,
     }
     add({MIX, 16, 0, n, 24, 255});    // final mixer over all above
 
-    // HCOMP: ring-store the byte, then hash chains h[1..5] of orders
-    // 1..5, h[6] = order-7 hash for the match model, then the optional
-    // word/periodic contexts, and byte<<8 for the mixer context.
+    (void)word_slot;
+    (void)per_slot;
+    std::vector<U8> hc = build_hcomp(n, word, periods, nper, per_isse);
+
+    int hh = 3;                       // 2^hh context slots >= n
+    while ((1 << hh) < n) hh++;
+    const int hm = nper > 0 ? 13 : 3; // ring must reach back one period
+
+    std::vector<U8> hdr;
+    // hsize = hh hm ph pm n (5) + COMP + end + HCOMP + end
+    int hsize = 5 + (int)comp.size() + 1 + (int)hc.size() + 1;
+    hdr.push_back(hsize & 255);
+    hdr.push_back(hsize >> 8);
+    hdr.push_back((U8)hh);
+    hdr.push_back((U8)hm);
+    hdr.push_back(0);   // ph
+    hdr.push_back(0);   // pm
+    hdr.push_back((U8)n);
+    for (U8 x : comp) hdr.push_back(x);
+    hdr.push_back(0);   // COMP end
+    for (U8 x : hc) hdr.push_back(x);
+    hdr.push_back(0);   // HCOMP end
+    return hdr;
+}
+
+// HCOMP program for an n-component build_model topology: ring-store
+// the byte, hash chains h[1..5] of orders 1..5, h[6] = order-7 hash
+// for the match model, then the optional word/periodic contexts, and
+// byte<<8 for the mixer context.  FastModelT::run_hcomp is the native
+// mirror of exactly this program.
+static std::vector<U8> build_hcomp(int n, int word, const int* periods,
+                                   int nper, bool per_isse) {
+    const int word_slot = word ? 7 : -1;
+    const int per_slot = 7 + (word ? 2 : 0);
     Asm a;
     a.op(17);        // C++
     a.op(104);       // *C=A   (store input byte in M[c])
@@ -1296,26 +1846,7 @@ static std::vector<U8> build_model(int sb, int word = 0,
     a.op(112);       // *D=A -> mixer context
     a.op(56);        // HALT
     a.finish();
-
-    int hh = 3;                       // 2^hh context slots >= n
-    while ((1 << hh) < n) hh++;
-    const int hm = nper > 0 ? 13 : 3; // ring must reach back one period
-
-    std::vector<U8> hdr;
-    // hsize = hh hm ph pm n (5) + COMP + end + HCOMP + end
-    int hsize = 5 + (int)comp.size() + 1 + (int)a.code.size() + 1;
-    hdr.push_back(hsize & 255);
-    hdr.push_back(hsize >> 8);
-    hdr.push_back((U8)hh);
-    hdr.push_back((U8)hm);
-    hdr.push_back(0);   // ph
-    hdr.push_back(0);   // pm
-    hdr.push_back((U8)n);
-    for (U8 x : comp) hdr.push_back(x);
-    hdr.push_back(0);   // COMP end
-    for (U8 x : a.code) hdr.push_back(x);
-    hdr.push_back(0);   // HCOMP end
-    return hdr;
+    return a.code;
 }
 
 // Pick up to 2 dominant repetition periods (record lengths) from the
@@ -1450,7 +1981,7 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
             VM z;
             z.read_header(hs);
             Model model(z);
-            RangeEncoder enc;
+            RangeEncoder<> enc;
             enc.out = &out;
             enc.pr = &model;
             enc.init();
@@ -1476,8 +2007,76 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
 // from the lz4 gate measurement (src/stream.c:304-309; < 0 = neutral
 // 128); ttype: 1 = text, 0 = binary, < 0 = the reference's inference
 // (redundancy > 192 => text).
+// Encode ONE CM block (framing + model header + coded payload).
+static void encode_cm_block(const U8* data, int64_t n, Sink& out,
+                            int level, int sb, bool text) {
+    // level 5 analyses each block for record periodicity
+    int periods[2];
+    int nper = level >= 5 ? find_periods(data, n, periods) : 0;
+
+    // assemble model header for this block; level 5 adds a word
+    // model even for binary input (libzpaq's "w1i1",
+    // libzpaq.cpp:7654) and refines each periodic context with a
+    // chained ISSE
+    const int word = text ? 2 : (level >= 5 ? 1 : 0);
+    std::vector<U8> hdr = build_model(sb, word, periods, nper,
+                                      /*per_isse=*/level >= 5);
+    // VM wants the full relocated form; reuse read_header
+    Source hs{hdr.data(), 0, (int64_t)hdr.size()};
+    VM z;
+    z.read_header(hs);
+
+    // block framing: tag + "zPQ" + level byte + 1 + header
+    out.write(kTag, 13);
+    out.put('z'); out.put('P'); out.put('Q');
+    out.put(1);  // level 1 (modeled)
+    out.put(1);
+    for (U8 x : hdr) out.put(x);
+    // segment: empty filename, size comment, reserved
+    out.put(1);
+    out.put(0);
+    char cbuf[32];
+    int cl = std::snprintf(cbuf, sizeof cbuf, "%lld", (long long)n);
+    for (int i = 0; i < cl; i++) out.put(cbuf[i]);
+    out.put(0);
+    out.put(0);
+    // specialized evaluator for our own topologies (always matches
+    // build_model's output; Model is the safety net)
+    auto code_block = [&](auto& model) {
+        RangeEncoder<typename std::remove_reference<
+            decltype(model)>::type> enc;
+        enc.out = &out;
+        enc.pr = &model;
+        enc.init();
+        enc.compress(0);  // PCOMP flag: 0 = PASS (no postprocessor)
+        for (int64_t i = 0; i < n; i++) enc.compress(data[i]);
+        enc.compress(-1);
+    };
+    FastShape fs = parse_fast_shape(z);
+    if (fs.ok && !fs.word && fs.nper == 0) {
+        FastModelT<false, 0, false> m(z, fs);
+        code_block(m);
+    } else if (fs.ok && fs.word && fs.nper == 0) {
+        FastModelT<true, 0, false> m(z, fs);
+        code_block(m);
+    } else if (fs.ok && fs.word && fs.nper == 1 && fs.per_isse) {
+        FastModelT<true, 1, true> m(z, fs);
+        code_block(m);
+    } else if (fs.ok && fs.word && fs.nper == 2 && fs.per_isse) {
+        FastModelT<true, 2, true> m(z, fs);
+        code_block(m);
+    } else {
+        Model m(z);
+        code_block(m);
+    }
+    out.put(0); out.put(0); out.put(0); out.put(0);
+    out.put(254);  // no checksum (reference decoder discards it)
+    out.put(255);  // end of block
+}
+
 static int64_t encode_stream(Source& in, Sink& out, int level, int bs,
-                             int redundancy = -1, int ttype = -1) {
+                             int redundancy = -1, int ttype = -1,
+                             int threads = 1) {
     if (redundancy < 0) redundancy = 128;
     if (redundancy > 255) redundancy = 255;
     if (ttype < 0) ttype = redundancy > 192 ? 1 : 0;
@@ -1490,61 +2089,61 @@ static int64_t encode_stream(Source& in, Sink& out, int level, int bs,
     if (bs < 0) bs = 4;
     if (bs > 11) bs = 11;
     int64_t block_cap = ((int64_t)0x100000 << bs) - 4096;
+    // backend MT (the reference's --nobemt dial, LzFindMt role for the
+    // CM coder): the coder is bit-serial inside a block, so the 2nd
+    // thread comes from splitting into independent blocks - the same
+    // block-level parallelism the reference gets by handing zpaq
+    // multiple stream blocks (src/stream.c:276-330)
+    if (threads >= 2 && in.len - in.pos > (2 << 20)) {
+        int64_t half = (in.len - in.pos + threads - 1) / threads;
+        if (half < (1 << 20)) half = 1 << 20;
+        if (half < block_cap) block_cap = half;
+    }
     // model size scales with level and block size
     int sb = 16 + (level >= 4) + 2 * (level >= 5);
     if (bs < 5) sb -= (5 - bs);
     if (sb < 10) sb = 10;
     const bool text = ttype == 1;
 
-    while (in.pos < in.len) {
-        int64_t n = in.len - in.pos;
+    std::vector<std::pair<int64_t, int64_t>> blocks;
+    for (int64_t p = in.pos; p < in.len;) {
+        int64_t n = in.len - p;
         if (n > block_cap) n = block_cap;
-
-        // level 5 analyses each block for record periodicity
-        int periods[2];
-        int nper = level >= 5
-            ? find_periods(in.p + in.pos, n, periods) : 0;
-
-        // assemble model header for this block; level 5 adds a word
-        // model even for binary input (libzpaq's "w1i1",
-        // libzpaq.cpp:7654) and refines each periodic context with a
-        // chained ISSE
-        const int word = text ? 2 : (level >= 5 ? 1 : 0);
-        std::vector<U8> hdr = build_model(sb, word, periods, nper,
-                                          /*per_isse=*/level >= 5);
-        // VM wants the full relocated form; reuse read_header
-        Source hs{hdr.data(), 0, (int64_t)hdr.size()};
-        VM z;
-        z.read_header(hs);
-        Model model(z);
-        RangeEncoder enc;
-        enc.out = &out;
-        enc.pr = &model;
-
-        // block framing: tag + "zPQ" + level byte + 1 + header
-        out.write(kTag, 13);
-        out.put('z'); out.put('P'); out.put('Q');
-        out.put(1);  // level 1 (modeled)
-        out.put(1);
-        for (U8 x : hdr) out.put(x);
-        // segment: empty filename, size comment, reserved
-        out.put(1);
-        out.put(0);
-        char cbuf[32];
-        int cl = std::snprintf(cbuf, sizeof cbuf, "%lld",
-                               (long long)n);
-        for (int i = 0; i < cl; i++) out.put(cbuf[i]);
-        out.put(0);
-        out.put(0);
-        enc.init();
-        enc.compress(0);  // PCOMP flag: 0 = PASS (no postprocessor)
-        for (int64_t i = 0; i < n; i++)
-            enc.compress(in.p[in.pos + i]);
-        in.pos += n;
-        enc.compress(-1);
-        out.put(0); out.put(0); out.put(0); out.put(0);
-        out.put(254);  // no checksum (reference decoder discards it)
-        out.put(255);  // end of block
+        blocks.emplace_back(p, n);
+        p += n;
+    }
+    in.pos = in.len;
+    if (blocks.size() > 1 && threads >= 2) {
+        std::vector<std::vector<U8>> bufs(blocks.size());
+        std::atomic<size_t> next{0};
+        std::atomic<bool> fail{false};
+        auto work = [&]() {
+            for (size_t i; (i = next.fetch_add(1)) < blocks.size();) {
+                int64_t off = blocks[i].first, n = blocks[i].second;
+                bufs[i].resize((size_t)(n + n / 4 + 65536));
+                Sink bsk{bufs[i].data(), 0, (int64_t)bufs[i].size()};
+                try {
+                    encode_cm_block(in.p + off, n, bsk, level, sb,
+                                    text);
+                } catch (...) {
+                    fail = true;
+                    return;
+                }
+                if (bsk.overflow) { fail = true; return; }
+                bufs[i].resize((size_t)bsk.pos);
+            }
+        };
+        std::thread t2(work);
+        work();
+        t2.join();
+        if (fail) return -1;
+        for (auto& b : bufs) out.write(b.data(), (int64_t)b.size());
+        if (out.overflow) return -1;
+        return out.pos;
+    }
+    for (auto& blk : blocks) {
+        encode_cm_block(in.p + blk.first, blk.second, out, level, sb,
+                        text);
         if (out.overflow) return -1;
     }
     return out.pos;
@@ -1556,11 +2155,12 @@ extern "C" {
 
 // Decompress a zpaq stream; returns output length or -1 on error.
 int64_t zpaq_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
-                    int64_t out_cap, char* errbuf, int errcap) {
+                    int64_t out_cap, char* errbuf, int errcap,
+                    int threads) {
     try {
         tpz::Source src{in, 0, in_len};
         tpz::Sink sink{out, 0, out_cap};
-        return tpz::decode_stream(src, sink);
+        return tpz::decode_stream(src, sink, threads);
     } catch (const std::exception& e) {
         if (errbuf && errcap > 0) {
             std::snprintf(errbuf, errcap, "%s", e.what());
@@ -1574,12 +2174,12 @@ int64_t zpaq_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
 int64_t zpaq_encode(const uint8_t* in, int64_t in_len, uint8_t* out,
                     int64_t out_cap, int level, int block_bits,
                     int redundancy, int ttype,
-                    char* errbuf, int errcap) {
+                    char* errbuf, int errcap, int threads) {
     try {
         tpz::Source src{in, 0, in_len};
         tpz::Sink sink{out, 0, out_cap};
         return tpz::encode_stream(src, sink, level, block_bits,
-                                  redundancy, ttype);
+                                  redundancy, ttype, threads);
     } catch (const std::exception& e) {
         if (errbuf && errcap > 0) {
             std::snprintf(errbuf, errcap, "%s", e.what());
