@@ -227,6 +227,17 @@ def replay_device(kinds: np.ndarray, lengths: np.ndarray,
     literals = plane.plane if plane.plane is not None \
         else jnp.zeros(1, jnp.uint8)
 
+    if jax.devices()[0].platform != "cpu":
+        # primary path on real accelerators: host-planned batched-DMA
+        # interval copies (ops/replay_dma) - no 2x(n+L)-element sorts
+        from ..ops.replay_dma import replay_tokens_dma
+        out = replay_tokens_dma(kinds, lengths, d,
+                                literals[:max(lit_total, 1)])
+        if out is not None:
+            res = np.asarray(jax.device_get(out))
+            plane.check()
+            return res.tobytes()
+
     flat = runtime.flatten_replay(kinds, lengths, d) \
         if runtime.available() else None
     if flat is not None:

@@ -288,8 +288,10 @@ def compress_stream(data: bytes | np.ndarray, out: BinaryIO,
     mesh = None
     if settings.use_tpu and not custom_tokens and not unlimited \
             and len(bounds) > 1:
-        auto_ok = not (ctype == C.CTYPE_RANS and not settings.filter_flag)
-        if settings.use_mesh or (settings.use_mesh is None and auto_ok):
+        # the mesh now composes with the device literal backend
+        # (MeshMatchBatch.job_for pins each chunk's buffer to its dp
+        # row), so rans-method runs no longer force single-device
+        if settings.use_mesh or settings.use_mesh is None:
             from ..parallel.mesh import pipeline_mesh
             mesh = pipeline_mesh()
     try:
@@ -377,7 +379,8 @@ def _compress_chunks_mesh(mesh, data, bounds, settings: Settings,
             tokens = mb.collect(j)
             if settings.stats_sink is not None:
                 settings.stats_sink(dict(mb.stats[j], chunk=ci))
-            finish_chunk(ci, p0, csize, chunk, tokens)
+            finish_chunk(ci, p0, csize, chunk, tokens,
+                         dev_job=mb.job_for(j))
 
 
 def _compress_unlimited(out: BinaryIO, data, bounds, ctype: int,
@@ -504,11 +507,14 @@ def _compress_chunk(out: BinaryIO, chunk: np.ndarray, eof: bool, ctype: int,
                     dev_job=None) -> int:
     csize = len(chunk)
     w = w_override or C.chunk_byte_width(max(csize, 1))
+    # P4 checksum offload: the chunk CRC runs on the pool concurrently
+    # with the match search / device collect (the reference overlaps
+    # CRC+hash with its search threads, src/rzip.c:564-584)
+    crc_fut = pool.submit(lambda: zlib.crc32(chunk) & 0xFFFFFFFF)
     kinds, lengths, dists = encode_tokens(chunk)
     kinds, lengths, dists = split_long_runs(kinds, lengths, dists)
-    crc = zlib.crc32(chunk) & 0xFFFFFFFF
     stream0 = encode_token_stream(kinds, lengths, dists, w,
-                                  stored_crc_int(crc))
+                                  stored_crc_int(crc_fut.result()))
 
     # Device-resident literal backend: with the rans codec and no
     # filter, the literal stream never comes to the host - it is

@@ -51,20 +51,21 @@ def _linear_shift_left(x: jnp.ndarray, s: int) -> jnp.ndarray:
 
 
 def _linear_exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive cumsum over row-major linear order of an (8, 128) int32
+    """Exclusive cumsum over row-major linear order of an (R, 128) int32
     tile: log-step shifted adds along lanes, and a strictly-lower-
     triangular matmul for the cross-row prefix (narrow sublane
     concats/pads are not Mosaic-lowerable; full-width ops are)."""
+    rows = x.shape[0]
     inc = x
     shift = 1
     while shift < _L:
         inc = inc + jnp.pad(inc, ((0, 0), (shift, 0)))[:, :_L]
         shift <<= 1
-    row_tot = jnp.broadcast_to(inc[:, _L - 1:_L], (_R, _L))
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 1)
-           < jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 0)
+    row_tot = jnp.broadcast_to(inc[:, _L - 1:_L], (rows, _L))
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+           < jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
            ).astype(jnp.float32)
-    # counts are <= 1024 so f32 accumulation is exact
+    # counts are <= rows * 128 <= 2^17 so f32 accumulation is exact
     row_prefix = jax.lax.dot_general(
         tri, row_tot.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -72,18 +73,19 @@ def _linear_exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _compact_tile(mask: jnp.ndarray, vals):
-    """Pack set elements of an (8,128) tile to the front (linear order).
+    """Pack set elements of an (R, 128) tile to the front (linear order).
 
     Returns packed value arrays aligned with ranks; slots past the
     count hold garbage.
     """
+    rows = mask.shape[0]
     rank = _linear_exclusive_cumsum(mask)
-    lin = (jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0) * _L
-           + jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1))
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (rows, _L), 0) * _L
+           + jax.lax.broadcasted_iota(jnp.int32, (rows, _L), 1))
     d = jnp.where(mask > 0, lin - rank, 0)
     m = mask
     vs = list(vals)
-    for k in range(14):  # log2(T)
+    for k in range(int(rows * _L - 1).bit_length()):  # log2(tile)
         s = 1 << k
         rm = _linear_shift_left(m, s)
         rd = _linear_shift_left(d, s)

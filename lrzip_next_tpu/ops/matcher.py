@@ -272,26 +272,66 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
     return start, is_end
 
 
+def _dist_sorted_seed_starts(pos, cand, ok, limit, stride):
+    """Chain-start mask over seeds sorted by (dist, pos).
+
+    Position-adjacent chaining (_anchor_chain_masks) shatters the long
+    chains of a far repeat whenever local-match seeds interleave (each
+    interleaved anchor breaks pos-adjacency): a 64MB corpus of ~24MB-
+    apart repeats produced 591K chain starts for 34K final tokens, and
+    the compaction cap overflow re-ran the whole device pipeline.
+    Grouping by distance first makes chains immune to interleaving -
+    strictly merging MORE than the adjacency rule (any adjacent pair
+    with equal dist and small gap is also adjacent within its dist
+    group), so the host greedy sees a superset of the old hints in
+    fewer, longer runs.  Returns (start_mask, spos, sdist) in
+    dist-sorted order.
+    """
+    valid = ok & (pos < limit) & (cand >= 0) & (cand < limit)
+    dist = jnp.where(valid, pos - cand, _I32_BIG)
+    sd, sp = jax.lax.sort((dist, pos), num_keys=2)
+    sv = sd < _I32_BIG
+    cont = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        sv[1:] & sv[:-1] & (sd[1:] == sd[:-1])
+        & (sp[1:] - sp[:-1] <= 4 * stride)])
+    start = sv & ~cont
+    return start, sp, sd
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
 def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
     """XLA fallback seed compaction (CPU meshes and tests).
 
     Only chain *starts* are compacted (ends = starts, run length 1):
     the host greedy re-derives every span with exact byte verification
-    and right-extension, so end positions carry no information."""
-    start, _ = _anchor_chain_masks(pos, cand, ok, limit, stride)
+    and right-extension, so end positions carry no information.
+    Chain detection runs in (dist, pos) order - see
+    _dist_sorted_seed_starts - then results return to pos order."""
+    start, sp, sd = _dist_sorted_seed_starts(pos, cand, ok, limit,
+                                             stride)
     kk = pos.shape[0]
     n_runs = jnp.sum(start.astype(jnp.int32))
-    si = jnp.nonzero(start, size=cap, fill_value=kk - 1)[0]
-    return pos[si], pos[si], cand[si], n_runs
+    spm = jnp.where(start, sp, _I32_BIG)
+    ps, ds = jax.lax.sort((spm, sd), num_keys=1)
+    idx = jax.lax.iota(jnp.int32, kk)[:cap]
+    return ps[:cap], ps[:cap], \
+        jnp.where(idx < n_runs, ps[:cap] - ds[:cap], -1), n_runs
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
 def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int):
     from .compact_pallas import compact_starts_pallas
-    start, _ = _anchor_chain_masks(pos, cand, ok, limit, stride)
-    starts, cands, n_runs = compact_starts_pallas(start, pos, cand, cap)
-    return starts, starts, cands, n_runs
+    start, sp, sd = _dist_sorted_seed_starts(pos, cand, ok, limit,
+                                             stride)
+    starts, dists_c, n_runs = compact_starts_pallas(start, sp, sd, cap)
+    # back to position order (the greedy walks a frontier; the delta
+    # packing in _pack_seeds also wants ascending starts).  Mask the
+    # compaction's garbage tail past n_runs before sorting.
+    idx = jax.lax.iota(jnp.int32, cap)
+    starts_m = jnp.where(idx < n_runs, starts, _I32_BIG)
+    ps, ds = jax.lax.sort((starts_m, dists_c), num_keys=1)
+    return ps, ps, jnp.where(idx < n_runs, ps - ds, -1), n_runs
 
 
 def _seed_compact_impl():

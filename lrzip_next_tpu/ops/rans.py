@@ -521,7 +521,16 @@ def decode_arrays(stream_dev: jnp.ndarray, states_dev: jnp.ndarray,
                   freqs_dev: jnp.ndarray, n: int, ctx_bits: int,
                   k: int, t_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Device-resident decode -> ((K*T,) uint8 plane, final states).
-    Caller slices [:n] after transpose is undone (done here)."""
+    Caller slices [:n] after transpose is undone (done here).
+
+    On real accelerators with enough lanes the scan runs as the Pallas
+    VMEM-resident kernel (ops/rans_decode_pallas, bit-identical)."""
+    if k >= 2048 and jax.devices()[0].platform != "cpu":
+        from .rans_decode_pallas import decode_scan_fused
+        syms, xf = decode_scan_fused(stream_dev.astype(jnp.int32),
+                                     states_dev, freqs_dev, jnp.int32(n),
+                                     ctx_bits, t_len)
+        return syms.T.reshape(-1), xf
     pad = t_len * k + k - stream_dev.shape[0]
     if pad > 0:
         stream_dev = jnp.concatenate(

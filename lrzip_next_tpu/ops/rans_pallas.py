@@ -67,6 +67,11 @@ _ROWS = 8  # span positions per grid step (amortizes per-step overhead)
 
 def _make_hist_kernel(r: int, k: int, t_len: int, c: int, shift: int,
                       rows_per: int, g_cnt: int):
+    # lane sub-blocks keep the (256, SUB) one-hot operands ~2MB: the
+    # full-K (256, 16384) bf16 pair pushed past VMEM and spilled
+    # (~40x slowdown measured)
+    sub = min(4096, k)
+
     def kernel(n_ref, prev_ref, cur_ref, out_ref, acc_ref):
         b = pl.program_id(0)
 
@@ -75,25 +80,29 @@ def _make_hist_kernel(r: int, k: int, t_len: int, c: int, shift: int,
             acc_ref[...] = jnp.zeros((c, 256), jnp.int32)
 
         n = n_ref[0]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
         acc = acc_ref[...]
         for i in range(rows_per):
             ridx = b * rows_per + i
-            sym = cur_ref[0, i]                  # (1, K)
-            cq = (prev_ref[0, i] >> shift) if shift < 8 \
-                else jnp.zeros((1, k), jnp.int32)
-            valid = (ridx < r) & ((lane * t_len + ridx) < n)
-            iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, k), 0)
-            oh_ctx = ((iota_c == cq) & valid).astype(jnp.bfloat16)
-            # symbol one-hot built transposed - (256, K) from a (1, K)
-            # broadcast compare - so no (1,K)->(K,1) relayout is needed;
-            # the dot contracts the lane dim of both operands.
-            iota_s = jax.lax.broadcasted_iota(jnp.int32, (256, k), 0)
-            oh_sym_t = (iota_s == sym).astype(jnp.bfloat16)
-            part = jax.lax.dot_general(
-                oh_ctx, oh_sym_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = acc + part.astype(jnp.int32)
+            for s0 in range(0, k, sub):
+                sym = cur_ref[0, i][:, s0:s0 + sub]      # (1, SUB)
+                cq = (prev_ref[0, i][:, s0:s0 + sub] >> shift) \
+                    if shift < 8 else jnp.zeros((1, sub), jnp.int32)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, sub), 1) + s0
+                valid = (ridx < r) & ((lane * t_len + ridx) < n)
+                iota_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (c, sub), 0)
+                oh_ctx = ((iota_c == cq) & valid).astype(jnp.bfloat16)
+                # symbol one-hot built transposed - (256, SUB) from a
+                # (1, SUB) broadcast compare - so no relayout is
+                # needed; the dot contracts the lane dim of both.
+                iota_s = jax.lax.broadcasted_iota(
+                    jnp.int32, (256, sub), 0)
+                oh_sym_t = (iota_s == sym).astype(jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    oh_ctx, oh_sym_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + part.astype(jnp.int32)
         acc_ref[...] = acc
 
         @pl.when(b == g_cnt - 1)

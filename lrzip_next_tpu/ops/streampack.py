@@ -54,36 +54,37 @@ def pack_plane_pallas(plane: jnp.ndarray, cap: int,
     """Compact a fused word|flag<<16 int32 plane (flat row-major order)
     into a dense cap-sized u16 stream.  Returns (packed, n_words).
 
-    Per-tile counts come out of the same kernel pass (SMEM scalars), so
-    the 64MB plane is read exactly once; the ordered overlapping
-    placement scan runs unrolled (the while-loop per-step overhead was
-    ~40% of pack time at 1024 tiles)."""
+    Tiles are 4x the compaction default (512 x 128): grid-step overhead
+    and the placement scan's per-step dynamic-update-slices dominated
+    pack time at 128-row tiles (33ms -> ~10ms per 24M-word plane)."""
+    rr = 4 * _R
+    tile = rr * _L
     m = plane.size
-    mb = ((m + TILE - 1) // TILE) * TILE
-    nb = mb // TILE
+    mb = ((m + tile - 1) // tile) * tile
+    nb = mb // tile
     flat = plane.reshape(-1)
     if mb != m:
         flat = jnp.pad(flat, (0, mb - m))
-    p_t = flat.reshape(nb, _R, _L)
-    spec = pl.BlockSpec((1, _R, _L), lambda b: (b, 0, 0),
+    p_t = flat.reshape(nb, rr, _L)
+    spec = pl.BlockSpec((1, rr, _L), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     tiles = pl.pallas_call(
         _pack_fused_kernel,
         grid=(nb,),
         in_specs=[spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((nb, _R, _L), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nb, rr, _L), jnp.int32),
         interpret=interpret,
     )(p_t)
     counts = jnp.sum(p_t >> 16, axis=(1, 2))
     offs = jnp.cumsum(counts) - counts
     n_words = jnp.sum(counts)
-    tiles_flat = tiles.reshape(nb, TILE)
-    out0 = jnp.zeros((cap + TILE,), jnp.int32)
+    tiles_flat = tiles.reshape(nb, tile)
+    out0 = jnp.zeros((cap + tile,), jnp.int32)
 
     def place(buf, inp):
-        tile, off = inp
-        return jax.lax.dynamic_update_slice(buf, tile, (off,)), None
+        t, off = inp
+        return jax.lax.dynamic_update_slice(buf, t, (off,)), None
 
     out, _ = jax.lax.scan(place, out0, (tiles_flat, offs), unroll=8)
     idx = jax.lax.iota(jnp.int32, cap)

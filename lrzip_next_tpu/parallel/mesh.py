@@ -173,8 +173,25 @@ class MeshMatchBatch:
         limits = jnp.full((dp,), jnp.int32(self.limit))
         self.compacted = _batched_seed_fn(mesh, stride, self.cap)(
             jnp.asarray(batch), limits)
+        # per-chunk device-resident padded buffers for the literal
+        # backend (models/device_path.DeviceLiteralEncode): chunk i is
+        # pinned to dp-row i's first device, so dp chunks rANS-encode
+        # in parallel across the mesh - the device literal path and the
+        # mesh compose instead of excluding each other.
+        self._dev = [
+            jax.device_put(batch[i], mesh.devices[i % dp, 0])
+            for i in range(len(chunks))]
         self._fetched = None
         self.stats: list = [{} for _ in chunks]
+
+    def job_for(self, i: int):
+        """TpuMatchJob-shaped shim carrying chunk i's device buffer."""
+        class _Shim:
+            dev = None
+        s = _Shim()
+        if not self.trivial:
+            s.dev = self._dev[i]
+        return s
 
     def _fetch(self):
         if self._fetched is None:

@@ -1297,6 +1297,116 @@ static const std::vector<U8>& lz_prog() {
     return p;
 }
 
+// ------------------------------------------- E8E9 exe precoder --------
+//
+// x86 content precoder (the reference's libzpaq picks an E8E9
+// transform for exe-type input, libzpaq.cpp:7545-7731 via
+// src/stream.c:304-309).  This implementation's own transform: at each
+// 0xE8/0xE9 opcode with 4 following bytes, the little-endian 32-bit
+// field gains the opcode's block offset (rel->abs); the embedded PCOMP
+// program below undoes it on any conforming ZPAQ decoder.  Scanning
+// skips the rewritten field, so encode and decode agree on which bytes
+// are opcodes.
+//
+// PCOMP state: H[0] = collect state (0 = normal, s in 1..4 = opcode
+// seen, s-1 field bytes pending), H[1] = opcode position, H[2..5] =
+// pending field bytes; B counts output bytes (positions).
+
+static std::vector<U8> build_e8e9_pcomp() {
+    PAsm a;
+    int EOS = a.newlabel(), NORMAL = a.newlabel(), STST = a.newlabel();
+    int BEGIN = a.newlabel(), FLUSH = a.newlabel(), FIN = a.newlabel();
+
+    a.opi(239, 255); a.jfar(39, EOS);    // A> 255 ? -> end of segment
+    a.op(80);                            // C=A (input byte)
+    a.opi(95, 0); a.op(70);              // D=0; A=*D  (state)
+    a.opi(223, 0); a.jfar(39, NORMAL);
+    // collecting field bytes: state s in 1..4
+    a.opi(135, 1);                       // A+=1 (new state, 2..5)
+    a.op(88);                            // D=A
+    a.op(114);                           // *D=C  (H[2..5] = byte)
+    a.opi(223, 5); a.jfar(47, STST);
+    // 4th field byte stored: w' = H[2..5] LE; emit LE(w' - p0)
+    a.opi(95, 5); a.op(70);              // A=H[5]
+    a.opi(207, 8); a.opi(95, 4); a.op(134);
+    a.opi(207, 8); a.opi(95, 3); a.op(134);
+    a.opi(207, 8); a.opi(95, 2); a.op(134);
+    a.opi(95, 1); a.op(142);             // A -= H[1] (opcode position)
+    a.op(80);                            // C = w
+    a.opi(175, 255); a.op(57); a.op(9);  // OUT w&255; B++
+    a.op(66); a.opi(215, 8); a.opi(175, 255); a.op(57); a.op(9);
+    a.op(66); a.opi(215, 16); a.opi(175, 255); a.op(57); a.op(9);
+    a.op(66); a.opi(215, 24); a.op(57); a.op(9);
+    a.op(4);                             // A=0 (back to normal)
+    a.place(STST);
+    a.opi(95, 0); a.op(112); a.op(56);   // H[0]=A; HALT
+    a.place(NORMAL);
+    a.op(66); a.op(57); a.op(9);         // A=C; OUT; B++
+    a.opi(223, 0xE8); a.jrel(39, BEGIN);
+    a.opi(223, 0xE9); a.jrel(39, BEGIN);
+    a.op(56);
+    a.place(BEGIN);
+    a.op(65); a.opi(143, 1);             // A = B-1 (opcode position)
+    a.opi(95, 1); a.op(112);             // H[1] = A
+    a.opi(71, 1); a.opi(95, 0); a.op(112); a.op(56);  // state=1
+    a.place(EOS);
+    // flush pending bytes raw (opcode was within 4 bytes of the end,
+    // which the encoder never transforms)
+    a.opi(95, 0); a.op(70);
+    a.opi(223, 0); a.jfar(39, FIN);
+    a.opi(143, 1);                       // pending count = state-1
+    a.opi(223, 0); a.jfar(39, FIN);
+    a.op(80);                            // C = count
+    a.opi(95, 2);                        // D = 2
+    a.place(FLUSH);
+    a.op(70); a.op(57); a.op(9);         // A=*D; OUT; B++
+    a.op(25);                            // D++
+    a.op(66); a.opi(143, 1); a.op(80);   // C--
+    a.opi(223, 0); a.jrel(47, FLUSH);
+    a.place(FIN);
+    a.op(56);
+    a.finish();
+    return a.code;
+}
+
+static const std::vector<U8>& e8e9_prog() {
+    static const std::vector<U8> p = build_e8e9_pcomp();
+    return p;
+}
+
+// forward transform, in place, offsets relative to the block start
+static void e8e9_fwd(U8* p, int64_t n) {
+    for (int64_t i = 0; i + 4 < n;) {
+        if (p[i] == 0xE8 || p[i] == 0xE9) {
+            U32 w = (U32)p[i + 1] | ((U32)p[i + 2] << 8)
+                    | ((U32)p[i + 3] << 16) | ((U32)p[i + 4] << 24);
+            w += (U32)i;
+            p[i + 1] = (U8)w;
+            p[i + 2] = (U8)(w >> 8);
+            p[i + 3] = (U8)(w >> 16);
+            p[i + 4] = (U8)(w >> 24);
+            i += 5;
+        } else {
+            i++;
+        }
+    }
+}
+
+// x86 detection: call/jump opcodes whose rel32 upper byte is a sign
+// extension occur far more often in machine code than anywhere else
+// (the reference's exe-type detection role, libzpaq.cpp:7561-7580)
+static bool looks_x86(const U8* p, int64_t n) {
+    int64_t m = n < (1 << 20) ? n : (1 << 20);
+    if (m < 4096) return false;
+    int64_t hits = 0;
+    for (int64_t i = 0; i + 4 < m; i++) {
+        if ((p[i] == 0xE8 || p[i] == 0xE9)
+            && (p[i + 4] == 0x00 || p[i + 4] == 0xFF))
+            hits++;
+    }
+    return hits * 512 >= m;
+}
+
 // ------------------------------------------------- LZ77 tokenizer -----
 
 static void lz77_tokens(const U8* in, int64_t n, std::vector<U8>& out,
@@ -1716,7 +1826,8 @@ struct Asm {
 //    libzpaq.cpp:7654-7686).
 static std::vector<U8> build_model(int sb, int word = 0,
                                    const int* periods = nullptr,
-                                   int nper = 0, bool per_isse = false) {
+                                   int nper = 0, bool per_isse = false,
+                                   int ph = 0) {
     // components
     std::vector<U8> comp;
     int n = 0;
@@ -1760,7 +1871,7 @@ static std::vector<U8> build_model(int sb, int word = 0,
     hdr.push_back(hsize >> 8);
     hdr.push_back((U8)hh);
     hdr.push_back((U8)hm);
-    hdr.push_back(0);   // ph
+    hdr.push_back((U8)ph);  // PCOMP H size (e8e9 method needs H[0..6])
     hdr.push_back(0);   // pm
     hdr.push_back((U8)n);
     for (U8 x : comp) hdr.push_back(x);
@@ -2008,8 +2119,17 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
 // 128); ttype: 1 = text, 0 = binary, < 0 = the reference's inference
 // (redundancy > 192 => text).
 // Encode ONE CM block (framing + model header + coded payload).
+// e8: apply the E8E9 exe precoder (x86 content) and embed its PCOMP
+// inverse so the reference's libzpaq also decodes the block.
 static void encode_cm_block(const U8* data, int64_t n, Sink& out,
-                            int level, int sb, bool text) {
+                            int level, int sb, bool text,
+                            bool e8 = false) {
+    std::vector<U8> xbuf;
+    if (e8) {
+        xbuf.assign(data, data + n);
+        e8e9_fwd(xbuf.data(), n);
+        data = xbuf.data();
+    }
     // level 5 analyses each block for record periodicity
     int periods[2];
     int nper = level >= 5 ? find_periods(data, n, periods) : 0;
@@ -2020,7 +2140,8 @@ static void encode_cm_block(const U8* data, int64_t n, Sink& out,
     // chained ISSE
     const int word = text ? 2 : (level >= 5 ? 1 : 0);
     std::vector<U8> hdr = build_model(sb, word, periods, nper,
-                                      /*per_isse=*/level >= 5);
+                                      /*per_isse=*/level >= 5,
+                                      /*ph=*/e8 ? 3 : 0);
     // VM wants the full relocated form; reuse read_header
     Source hs{hdr.data(), 0, (int64_t)hdr.size()};
     VM z;
@@ -2048,7 +2169,15 @@ static void encode_cm_block(const U8* data, int64_t n, Sink& out,
         enc.out = &out;
         enc.pr = &model;
         enc.init();
-        enc.compress(0);  // PCOMP flag: 0 = PASS (no postprocessor)
+        if (e8) {
+            const std::vector<U8>& prog = e8e9_prog();
+            enc.compress(1);  // PCOMP flag: PROG psize[2] bytecode
+            enc.compress((int)(prog.size() & 255));
+            enc.compress((int)(prog.size() >> 8));
+            for (U8 x : prog) enc.compress(x);
+        } else {
+            enc.compress(0);  // PCOMP flag: 0 = PASS
+        }
         for (int64_t i = 0; i < n; i++) enc.compress(data[i]);
         enc.compress(-1);
     };
@@ -2124,7 +2253,8 @@ static int64_t encode_stream(Source& in, Sink& out, int level, int bs,
                 Sink bsk{bufs[i].data(), 0, (int64_t)bufs[i].size()};
                 try {
                     encode_cm_block(in.p + off, n, bsk, level, sb,
-                                    text);
+                                    text,
+                                    !text && looks_x86(in.p + off, n));
                 } catch (...) {
                     fail = true;
                     return;
@@ -2143,7 +2273,8 @@ static int64_t encode_stream(Source& in, Sink& out, int level, int bs,
     }
     for (auto& blk : blocks) {
         encode_cm_block(in.p + blk.first, blk.second, out, level, sb,
-                        text);
+                        text, !text && looks_x86(in.p + blk.first,
+                                                 blk.second));
         if (out.overflow) return -1;
     }
     return out.pos;

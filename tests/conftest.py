@@ -53,3 +53,17 @@ def make_corpus(rng, size: int, kind: str = "mixed") -> bytes:
 @pytest.fixture
 def corpus_factory(rng):
     return lambda size, kind="mixed": make_corpus(rng, size, kind)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight test, skipped unless RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow; set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -144,6 +144,42 @@ def test_zpaq_ours_decodes_with_libzpaq(zpaq_ref, level):
     assert dest.raw[:dlen.value] == SAMPLE
 
 
+def _x86ish(n: int, seed: int = 7) -> bytes:
+    """Synthetic machine-code-like bytes: frequent E8/E9 rel32 calls to
+    a pool of recurring absolute targets (so only the E8E9 precoder can
+    expose the redundancy)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    targets = rng.integers(0, n, 100)
+    out = bytearray()
+    while len(out) < n:
+        out += rng.integers(0, 256, 11, dtype=np.uint8).tobytes()
+        t = int(targets[rng.integers(0, 100)])
+        rel = (t - len(out)) & 0xFFFFFFFF
+        op = b"\xe8" if rng.random() < 0.5 else b"\xe9"
+        out += op + rel.to_bytes(4, "little")
+    return bytes(out[:n])
+
+
+@pytest.mark.parametrize("level", [4, 5])
+def test_zpaq_e8e9_decodes_with_libzpaq(zpaq_ref, level):
+    """x86-detected blocks embed our own E8E9-inverse ZPAQL PCOMP
+    (runtime/csrc/zpaq.cpp build_e8e9_pcomp; the reference's exe
+    precoder role, libzpaq.cpp:7545-7731): the reference's libzpaq must
+    run that bytecode and reconstruct the original bytes."""
+    from lrzip_next_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    data = _x86ish(1 << 18)
+    ours = runtime.zpaq_encode(data, level, 6, 128, 0)
+    dest = ctypes.create_string_buffer(len(data) + 4096)
+    dlen = ctypes.c_int64(0)
+    zpaq_ref.zpaq_decompress(dest, ctypes.byref(dlen), ours, len(ours),
+                             None, False, 0)
+    assert dlen.value == len(data)
+    assert dest.raw[:dlen.value] == data
+
+
 @pytest.mark.parametrize("redundancy,ttype", [(200, 1), (128, 0)])
 def test_zpaq_adaptive_models_decode_with_libzpaq(zpaq_ref, redundancy,
                                                   ttype):

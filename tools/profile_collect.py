@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Stage breakdown of TpuMatchJob.collect() at 64MB on the real TPU."""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from lrzip_next_tpu.utils import jaxcache
+
+jaxcache.enable()
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from lrzip_next_tpu.ops.matcher import (TpuMatchJob, _bucket_size,
+                                        _fetch_seeds, greedy_cover_from_runs)
+
+MB = 1 << 20
+N = int(sys.argv[1]) * MB if len(sys.argv) > 1 else 64 * MB
+
+data = bench.build_corpus(N)
+arr = np.frombuffer(data, dtype=np.uint8)
+nb = _bucket_size(N)
+padded = np.zeros(nb, np.uint8)
+padded[:N] = arr
+dev = jnp.asarray(padded)
+int(jnp.sum(dev[:1]))
+print(f"n={N//MB}MB platform={jax.devices()[0].platform}", flush=True)
+
+# warm
+job = TpuMatchJob(arr, stride=8, dev=dev)
+job.collect()
+
+for rep in range(3):
+    t0 = time.time()
+    job = TpuMatchJob(arr, stride=8, dev=dev)
+    t1 = time.time()
+    starts, ends, srcs, n_runs = job.compacted
+    k = int(n_runs)
+    t2 = time.time()
+    rs, src = _fetch_seeds(starts, srcs, k)
+    rl = np.ones(k, np.int64)
+    t3 = time.time()
+    kinds, lengths, dists = greedy_cover_from_runs(
+        rs, rl, src, job.n, data=job.data)
+    t4 = time.time()
+    print(f"rep{rep}: dispatch {1e3*(t1-t0):.1f}ms | sync(n_runs) "
+          f"{1e3*(t2-t1):.1f}ms | k={k} fetch_seeds {1e3*(t3-t2):.1f}ms "
+          f"| greedy {1e3*(t4-t3):.1f}ms | total {1e3*(t4-t0):.1f}ms",
+          flush=True)
