@@ -606,6 +606,17 @@ uint32_t get_u32(const uint8_t* p) {
 
 extern "C" {
 
+// Raw BWT hooks for other translation units (the zpaq BWT method in
+// zpaq.cpp reuses this file's SA-IS forward and LF-walk inverse).
+int32_t lrz_bwt_forward(const uint8_t* in, uint8_t* out, int32_t n) {
+    return bwt_forward(in, out, n);
+}
+
+void lrz_bwt_inverse(const uint8_t* bwt, uint8_t* out, int32_t n,
+                     int32_t q) {
+    bwt_inverse(bwt, out, n, q);
+}
+
 // Encode one block: [u32 primary_index][rc payload].  Returns bytes
 // written or -1 if the output would exceed cap (incompressible).
 int64_t bwt_block_encode(const uint8_t* in, int64_t n, uint8_t* out,

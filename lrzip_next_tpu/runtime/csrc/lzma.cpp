@@ -715,17 +715,23 @@ struct BtMatchFinder {
     U32 dict;
     int cycles;
     int hb;
-    std::vector<int32_t> h2, h3, h4, son;
-    static constexpr int H2B = 16, H3B = 16;
+    int nhb;  // tree hash width: 2..5 (the SDK's bt2/bt3/bt4/bt5
+              // numHashBytes family, LzFind.c:962-1400); heads below
+              // the tree width serve close short matches
+    std::vector<int32_t> h2, h3, h4h, h4, son;
+    static constexpr int H2B = 16, H3B = 16, H4B = 17;
     static constexpr int kMaxPairs = 80;
 
-    BtMatchFinder(const U8* d, int64_t len, U32 dict_size, int cyc)
+    BtMatchFinder(const U8* d, int64_t len, U32 dict_size, int cyc,
+                  int nhb_ = 4)
         : in(d), n(len), dict(dict_size ? dict_size : 0xFFFFFFFFu),
-          cycles(cyc) {
+          cycles(cyc), nhb(nhb_ < 2 ? 2 : (nhb_ > 5 ? 5 : nhb_)) {
         hb = 16;
         while (((int64_t)1 << hb) < len && hb < 22) hb++;
-        h2.assign((size_t)1 << H2B, -1);
-        h3.assign((size_t)1 << H3B, -1);
+        if (nhb == 2) hb = 16;  // direct 2-byte value
+        if (nhb >= 3) h2.assign((size_t)1 << H2B, -1);
+        if (nhb >= 4) h3.assign((size_t)1 << H3B, -1);
+        if (nhb >= 5) h4h.assign((size_t)1 << H4B, -1);
         h4.assign((size_t)1 << hb, -1);
         son.assign((size_t)2 * (size_t)len, -1);
     }
@@ -737,10 +743,31 @@ struct BtMatchFinder {
         U32 x = (U32)p[0] | ((U32)p[1] << 8) | ((U32)p[2] << 16);
         return (x * 2654435761u) >> (32 - H3B);
     }
-    inline U32 hv4(const U8* p) const {
+    static inline U32 hv4h(const U8* p) {
         U32 x;
         std::memcpy(&x, p, 4);
-        return (x * 2654435761u) >> (32 - hb);
+        return (x * 2654435761u) >> (32 - H4B);
+    }
+    inline U32 hvtree(const U8* p) const {
+        switch (nhb) {
+            case 2:
+                return hv2(p);
+            case 3: {
+                U32 x = (U32)p[0] | ((U32)p[1] << 8) | ((U32)p[2] << 16);
+                return (x * 2654435761u) >> (32 - hb);
+            }
+            case 5: {
+                U32 x;
+                std::memcpy(&x, p, 4);
+                U64 y = (U64)x | ((U64)p[4] << 32);
+                return (U32)((y * 0x9E3779B185EBCA87ull) >> (64 - hb));
+            }
+            default: {
+                U32 x;
+                std::memcpy(&x, p, 4);
+                return (x * 2654435761u) >> (32 - hb);
+            }
+        }
     }
 
     // Descend position i's tree bucket: re-links the tree so i becomes
@@ -749,7 +776,7 @@ struct BtMatchFinder {
     // subtree ordered by suffix comparison.
     template <bool COLLECT>
     int walk(int64_t i, U32* lens, U32* dists, int np, int best) {
-        U32 h = hv4(in + i);
+        U32 h = hvtree(in + i);
         int32_t cur = h4[h];
         h4[h] = (int32_t)i;
         int32_t* ptr0 = &son[2 * (size_t)i + 1];
@@ -802,7 +829,7 @@ struct BtMatchFinder {
         U32 rl[kMaxPairs], rd[kMaxPairs];
         int np = 0;
         int64_t maxl = n - i < kMatchMaxLen ? n - i : kMatchMaxLen;
-        if (maxl >= 2) {
+        if (nhb >= 3 && maxl >= 2) {
             U32 hh = hv2(in + i);
             int32_t c = h2[hh];
             h2[hh] = (int32_t)i;
@@ -816,7 +843,7 @@ struct BtMatchFinder {
                 }
             }
         }
-        if (n - i >= 3) {
+        if (nhb >= 4 && n - i >= 3) {
             U32 hh = hv3(in + i);
             int32_t c = h3[hh];
             h3[hh] = (int32_t)i;
@@ -829,7 +856,20 @@ struct BtMatchFinder {
                 np++;
             }
         }
-        if (n - i >= 4) {
+        if (nhb >= 5 && n - i >= 4) {
+            U32 hh = hv4h(in + i);
+            int32_t c = h4h[hh];
+            h4h[hh] = (int32_t)i;
+            if (c >= 0 && (U64)(i - c) <= dict
+                && std::memcmp(in + c, in + i, 4) == 0) {
+                int l = 4;
+                while (l < maxl && in[c + l] == in[i + l]) l++;
+                rl[np] = (U32)l;
+                rd[np] = (U32)(i - c - 1);
+                np++;
+            }
+        }
+        if (n - i >= nhb) {
             // the h2/h3 heads are the *closest* 2-/3-byte matches, so
             // any BT candidate of <= their length has a larger
             // distance and is dominated: start recording above them
@@ -873,9 +913,10 @@ struct BtMatchFinder {
 
     // Insert-only (skipped positions inside an accepted match).
     void skip(int64_t i) {
-        if (n - i >= 2) h2[hv2(in + i)] = (int32_t)i;
-        if (n - i >= 3) h3[hv3(in + i)] = (int32_t)i;
-        if (n - i >= 4) walk<false>(i, nullptr, nullptr, 0, 0);
+        if (nhb >= 3 && n - i >= 2) h2[hv2(in + i)] = (int32_t)i;
+        if (nhb >= 4 && n - i >= 3) h3[hv3(in + i)] = (int32_t)i;
+        if (nhb >= 5 && n - i >= 4) h4h[hv4h(in + i)] = (int32_t)i;
+        if (n - i >= nhb) walk<false>(i, nullptr, nullptr, 0, 0);
     }
 };
 
@@ -906,8 +947,9 @@ static void sample_skip(BtMatchFinder& mf, int64_t q0, int64_t q1) {
 
 struct SyncSource {
     BtMatchFinder mf;
-    SyncSource(const U8* in, int64_t n, U32 dict, int cycles, int)
-        : mf(in, n, dict, cycles) {}
+    SyncSource(const U8* in, int64_t n, U32 dict, int cycles, int,
+               int nhb = 4)
+        : mf(in, n, dict, cycles, nhb) {}
     int get(int64_t p, U32* lens, U32* dists) {
         return mf.get_matches(p, lens, dists);
     }
@@ -937,8 +979,9 @@ struct AheadSource {
     std::unique_ptr<Block> cur;
     size_t ci = 0, poff = 0;
 
-    AheadSource(const U8* in, int64_t n_, U32 dict, int cycles, int nice_)
-        : mf(in, n_, dict, cycles), n(n_), nice(nice_) {
+    AheadSource(const U8* in, int64_t n_, U32 dict, int cycles,
+                int nice_, int nhb = 4)
+        : mf(in, n_, dict, cycles, nhb), n(n_), nice(nice_) {
         worker = std::thread([this] { run(); });
     }
     ~AheadSource() {
@@ -1391,11 +1434,20 @@ int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
                    int threads) {
     const int nice = level < 7 ? 32 : 64;     // fb (src/stream.c:455)
     const int cycles = (16 + nice / 2) * (level >= 9 ? 2 : 1);
+    // match-finder family selector (the SDK's bt2/bt3/bt4/bt5
+    // numHashBytes dial, LzFind.c:962-1400); bt4 is the default as in
+    // the reference's stream.c lzma setup
+    int nhb = 4;
+    if (const char* mf = std::getenv("LRZ_LZMA_MF")) {
+        if (mf[0] == 'b' && mf[1] == 't' && mf[2] >= '2' && mf[2] <= '5'
+            && mf[3] == 0)
+            nhb = mf[2] - '0';
+    }
     if (threads >= 2 && n > (1 << 16)) {
-        AheadSource src(in, n, dict_size, cycles, nice);
+        AheadSource src(in, n, dict_size, cycles, nice, nhb);
         return encode_opt_t(in, n, out, level, lc, lp, pb, nice, src);
     }
-    SyncSource src(in, n, dict_size, cycles, nice);
+    SyncSource src(in, n, dict_size, cycles, nice, nhb);
     return encode_opt_t(in, n, out, level, lc, lp, pb, nice, src);
 }
 

@@ -1160,6 +1160,175 @@ struct RangeEncoder {
 
 };
 
+// ------------------------------------- small-chain evaluator ----------
+// Specialized predictor for the 2-3 component ICM -> ISSE chains the
+// LZ77 token models and the BWT method use ({ICM s; ISSE s' 0 [; ISSE
+// s'' 1]}, final component's prediction, no mixer).  Same arithmetic
+// as Model, without per-bit header walking; ~3x the generic
+// interpreter's speed (the libzpaq-JIT analog for the small shapes,
+// complementing FastModelT's big-CM coverage).
+
+struct SmallShape {
+    int nc = 0;          // 0 = not a small chain; else 2 or 3
+    int bits[3] = {0};
+};
+
+static SmallShape parse_small_chain(const VM& z) {
+    SmallShape s;
+    int n = z.header[6];
+    if (n != 2 && n != 3) return s;
+    const U8* cp = &z.header[7];
+    if (cp[0] != ICM) return s;
+    s.bits[0] = cp[1];
+    cp += kCompSize[ICM];
+    if (cp[0] != ISSE || cp[2] != 0) return s;
+    s.bits[1] = cp[1];
+    cp += kCompSize[ISSE];
+    if (n == 3) {
+        if (cp[0] != ISSE || cp[2] != 1) return s;
+        s.bits[2] = cp[1];
+    }
+    s.nc = n;
+    return s;
+}
+
+template <int NC>
+struct SmallChainT {
+    VM& z;
+    SmallShape shape;
+    int c8 = 1, hmap4 = 1;
+    U32 hh[NC];
+    int p[NC];
+    std::vector<U8> ht[NC];
+    std::vector<U32> cmv[NC];
+    size_t hmask16[NC];
+    int sbits[NC];
+    U32 irow[NC], icxt[NC];
+    bool fast_hc = false;
+
+    SmallChainT(VM& zr, const SmallShape& fs) : z(zr), shape(fs) {}
+    bool is_modeled() const { return true; }
+
+    void init() {
+        build_tables();
+        z.init_h();
+        c8 = 1;
+        hmap4 = 1;
+        for (int i = 0; i < NC; i++) { hh[i] = 0; p[i] = 0; }
+        auto init_icm = [&](int i) {
+            ht[i].assign((size_t)64 << shape.bits[i], 0);
+            hmask16[i] = ht[i].size() - 16;
+            sbits[i] = shape.bits[i] + 2;
+            cmv[i].resize(256);
+            for (int j = 0; j < 256; j++)
+                cmv[i][j] = Model::st_cminit(j);
+        };
+        auto init_isse = [&](int i) {
+            ht[i].assign((size_t)64 << shape.bits[i], 0);
+            hmask16[i] = ht[i].size() - 16;
+            sbits[i] = shape.bits[i] + 2;
+            cmv[i].resize(512);
+            for (int j = 0; j < 256; j++) {
+                cmv[i][j * 2] = 1 << 15;
+                cmv[i][j * 2 + 1] = (U32)clamp512k(
+                    stretch(Model::st_cminit(j) >> 8) * 1024);
+            }
+        };
+        init_icm(0);
+        for (int k = 1; k < NC; k++) init_isse(k);
+        // native HCOMP only when the program is exactly the chained
+        // order-1..NC hash the encoders emit
+        static const U8 hc2[] = {17, 104, 74, 4, 95, 0, 59, 112,
+                                 10, 25, 59, 112, 56};
+        static const U8 hc3[] = {17, 104, 74, 4, 95, 0, 59, 112,
+                                 10, 25, 59, 112, 10, 25, 59, 112, 56};
+        const U8* exp = NC == 2 ? hc2 : hc3;
+        int elen = NC == 2 ? (int)sizeof hc2 : (int)sizeof hc3;
+        int hlen = z.hend - z.hbegin - 1;
+        fast_hc = hlen == elen
+                  && std::memcmp(&z.header[z.hbegin], exp,
+                                 (size_t)elen) == 0;
+    }
+
+    inline void nibble_rows() {
+        const U32 cc = 16 * (U32)c8;
+        for (int i = 0; i < NC; i++)
+            __builtin_prefetch(
+                &ht[i][((size_t)(hh[i] + cc) * 16) & hmask16[i]]);
+        for (int i = 0; i < NC; i++)
+            irow[i] = (U32)ffind(ht[i].data(), hmask16[i], sbits[i],
+                                 hh[i] + cc);
+    }
+
+    int predict() {
+        if (c8 == 1 || (c8 & 0xf0) == 16) nibble_rows();
+        icxt[0] = ht[0][irow[0] + (hmap4 & 15)];
+        p[0] = stretch((int)(cmv[0][icxt[0]] >> 8));
+        for (int k = 1; k < NC; k++) {
+            icxt[k] = ht[k][irow[k] + (hmap4 & 15)];
+            const int* wt = (const int*)&cmv[k][icxt[k] * 2];
+            p[k] = clamp2k((wt[0] * p[k - 1] + wt[1] * 64) >> 16);
+        }
+        return squash(p[NC - 1]);
+    }
+
+    void update(int y) {
+        {
+            ht[0][irow[0] + (hmap4 & 15)] =
+                (U8)Model::st_next((int)icxt[0], y);
+            U32& pn = cmv[0][icxt[0]];
+            pn += (U32)((int)(y * 32767 - (int)(pn >> 8)) >> 2);
+        }
+        for (int k = 1; k < NC; k++) {
+            int err = y * 32767 - squash(p[k]);
+            int* wt = (int*)&cmv[k][icxt[k] * 2];
+            wt[0] = clamp512k(wt[0] + ((err * p[k - 1] + (1 << 12))
+                                       >> 13));
+            wt[1] = clamp512k(wt[1] + ((err + 16) >> 5));
+            ht[k][irow[k] + (hmap4 & 15)] =
+                (U8)Model::st_next((int)icxt[k], y);
+        }
+        c8 += c8 + y;
+        if (c8 >= 256) {
+            if (fast_hc) {
+                VM& v = z;
+                const size_t mm = v.m.size() - 1;
+                v.c += 1;
+                v.m[v.c & mm] = (U8)(c8 - 256);
+                U32 b = v.c;
+                U32 a = (v.m[b & mm] + 512u) * 773u;
+                hh[0] = a;
+                for (int k = 1; k < NC; k++) {
+                    b--;
+                    a = (a + v.m[b & mm] + 512u) * 773u;
+                    hh[k] = a;
+                }
+            } else {
+                z.run(c8 - 256);
+                for (int i = 0; i < NC; i++) hh[i] = z.H(i);
+            }
+            hmap4 = 1;
+            c8 = 1;
+        } else if (c8 >= 16 && c8 < 32) {
+            hmap4 = (hmap4 & 0xf) << 5 | y << 4 | 1;
+        } else {
+            hmap4 = (hmap4 & 0x1f0) | (((hmap4 & 0xf) * 2 + y) & 0xf);
+        }
+    }
+
+    void prefetch_byte(int ch) {
+        const U32 c8a = 16, c8b = 16 * (U32)(16 + (ch >> 4));
+        for (int i = 0; i < NC; i++) {
+            for (U32 cc : {c8a, c8b}) {
+                size_t h0 = ((size_t)(hh[i] + cc) * 16) & hmask16[i];
+                __builtin_prefetch(&ht[i][h0]);
+                __builtin_prefetch(&ht[i][h0 ^ 16]);
+                __builtin_prefetch(&ht[i][h0 ^ 32]);
+            }
+        }
+    }
+};
+
 // -------------------------------------------- LZ77 PCOMP program ------
 //
 // The fast-mode encoder (levels 1-2, mirroring libzpaq's LZ77-based low
@@ -1374,6 +1543,135 @@ static const std::vector<U8>& e8e9_prog() {
     return p;
 }
 
+// ------------------------------------------- BWT method --------------
+//
+// High-redundancy binary arm (the reference's libzpaq mid methods use
+// a BWT pre-coder for such types, libzpaq.cpp:7545-7731): blocks are
+// BWT'd with this runtime's SA-IS (csrc/bwt.cpp), modeled with a small
+// ICM/ISSE chain, and carry a from-scratch ZPAQL PCOMP that inverts
+// the BWT on any conforming decoder.
+//
+// Decoded-stream layout per block: [bwt bytes (n)] [primary row q, LE4].
+// PCOMP memory: M[0..n+4) buffers the stream (pm sized to the block);
+// H holds bucket counts at [0..257], the mask constant at [0], and the
+// packed psi links at [259..259+n]: H[lf(i)+259] = (i+259) | (col(i)-1
+// << 24), so the forward psi walk outputs bytes in order with one
+// fetch per byte.  Scalars live in R0 (n) and R1 (q).
+
+extern "C" int32_t lrz_bwt_forward(const uint8_t* in, uint8_t* out,
+                                   int32_t n);
+extern "C" void lrz_bwt_inverse(const uint8_t* bwt, uint8_t* out,
+                                int32_t n, int32_t q);
+
+static std::vector<U8> build_bwt_pcomp() {
+    PAsm a;
+    int EOS = a.newlabel(), FIN = a.newlabel();
+    int Z1 = a.newlabel(), P2 = a.newlabel(), P2T = a.newlabel();
+    int P3 = a.newlabel(), P3T = a.newlabel();
+    int P4 = a.newlabel(), P4T = a.newlabel(), SENT = a.newlabel();
+    int P4J = a.newlabel(), P5 = a.newlabel(), W1 = a.newlabel();
+
+    // normal phase: buffer the byte
+    a.opi(239, 255); a.jfar(39, EOS);    // A> 255 ? -> EOS
+    a.op(96); a.op(9); a.op(56);         // *B=A; B++; HALT
+
+    a.place(EOS);
+    // R0 = n = B - 4;  stop on empty segment
+    a.op(65); a.opi(143, 4); a.opi(55, 0);   // A=B-4; R0=A
+    a.opi(223, 0); a.jfar(39, FIN);
+    // R1 = q = LE32 at M[n..n+4)
+    a.opi(135, 3); a.op(72);             // B = n+3
+    a.op(68); a.op(80);                  // A=*B; C=A
+    for (int k = 0; k < 3; k++) {
+        a.op(10);                        // B--
+        a.op(66); a.opi(207, 8);         // A=C; A<<=8
+        a.op(132); a.op(80);             // A+=*B; C=A
+    }
+    a.op(66); a.opi(55, 1);              // R1 = q
+
+    // zero bucket counts H[0..257]
+    a.op(28);                            // D=0
+    a.opi(71, 255); a.opi(135, 3); a.op(80);  // C = 258
+    a.place(Z1);
+    a.op(52); a.op(25);                  // H(d)=0; D++
+    a.op(66); a.opi(143, 1); a.op(80);   // C--
+    a.opi(223, 0); a.jrel(47, Z1);
+
+    // count pass: for w in 0..n: ++H[M[w]+1]; plus one sentinel
+    a.op(12);                            // B = 0 (w)
+    a.place(P2);
+    a.opi(7, 0); a.op(217); a.jfar(39, P2T);  // A=R0; A==B ? done
+    a.op(68); a.opi(135, 1); a.op(88);   // D = M[w]+1
+    a.op(49); a.op(9);                   // ++H(d); w++
+    a.jrel(63, P2);
+    a.place(P2T);
+    a.op(28); a.op(49);                  // ++H[0] (sentinel)
+
+    // exclusive prefix over H[0..257]: C = running
+    a.op(20); a.op(28);                  // C=0; D=0
+    a.place(P3);
+    a.op(70); a.op(72);                  // A=*D; B=A (tmp)
+    a.op(66); a.op(112);                 // A=C; H(d)=A
+    a.op(129); a.op(80);                 // A+=B; C=A
+    a.op(25);                            // D++
+    a.op(67); a.opi(143, 3); a.opi(223, 255); a.jrel(47, P3);  // D==258?
+    a.place(P3T);
+
+    // scatter pass: rows i = B in 0..n, w = C
+    a.op(12); a.op(20);                  // B = 0 (i), C = 0 (w)
+    a.place(P4);
+    a.opi(7, 0); a.opi(135, 1); a.op(217);   // A=R0+1; A==B ?
+    a.jfar(39, P5);
+    a.opi(7, 1); a.op(217); a.jfar(39, SENT);  // i == q ?
+    // normal row: c-cell = M[w]+1; j = H[c]++; H[j+259] = packed
+    a.op(69); a.opi(135, 1); a.op(88);   // D = M[w]+1
+    a.op(70); a.op(49);                  // A = j = H(d); ++H(d)
+    a.opi(135, 255); a.opi(135, 4);      // A = j + 259
+    a.op(88);                            // D = target
+    a.op(69);                            // A = M[w]  (byte = col-1)
+    a.op(17);                            // w++
+    a.opi(207, 24);                      // A <<= 24
+    a.op(129); a.opi(135, 255); a.opi(135, 4);  // A += i + 259
+    a.op(112);                           // H(d) = packed
+    a.jrel(63, P4J);
+    a.place(SENT);                       // sentinel row: c-cell 0
+    a.op(28);                            // D = 0
+    a.op(70); a.op(49);                  // j = H[0]; ++H[0]
+    a.opi(135, 255); a.opi(135, 4); a.op(88);   // D = j + 259
+    a.op(65); a.opi(135, 255); a.opi(135, 4);   // A = i + 259
+    a.op(112);                           // H(d) = packed (byte 0)
+    a.place(P4J);
+    a.op(9);                             // i++
+    a.jrel(63, P4);
+    a.place(P4T);
+
+    // walk: H[0] = mask; p = H[259] & mask; n outputs
+    a.place(P5);
+    a.opi(71, 1); a.opi(207, 24); a.opi(143, 1);  // A = 2^24 - 1
+    a.op(28); a.op(112);                 // H[0] = mask
+    a.opi(7, 0); a.op(80);               // C = n (countdown)
+    a.opi(71, 255); a.opi(135, 4); a.op(88);      // D = 259
+    a.op(70);                            // A = H[259] (psi(0) packed)
+    a.op(28); a.op(174);                 // A &= H[0]
+    a.op(88);                            // D = p
+    a.place(W1);
+    a.op(70); a.op(72);                  // A = packed; B = A
+    a.opi(215, 24); a.op(57);            // OUT (packed >> 24)
+    a.op(65); a.op(28); a.op(174);       // A = B & mask
+    a.op(88);                            // D = next p
+    a.op(66); a.opi(143, 1); a.op(80);   // C--
+    a.opi(223, 0); a.jrel(47, W1);
+    a.place(FIN);
+    a.op(56);                            // HALT
+    a.finish();
+    return a.code;
+}
+
+static const std::vector<U8>& bwt_prog() {
+    static const std::vector<U8> p = build_bwt_pcomp();
+    return p;
+}
+
 // forward transform, in place, offsets relative to the block start
 static void e8e9_fwd(U8* p, int64_t n) {
     for (int64_t i = 0; i + 4 < n;) {
@@ -1390,6 +1688,20 @@ static void e8e9_fwd(U8* p, int64_t n) {
             i++;
         }
     }
+}
+
+// text detection: mostly printable ASCII + whitespace.  Replaces the
+// redundancy>192 inference (which misreads highly-redundant binary as
+// text and picks the word model / blocks the BWT arm).
+static bool looks_text(const U8* p, int64_t n) {
+    int64_t m = n < (1 << 20) ? n : (1 << 20);
+    if (m == 0) return false;
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < m; i++) {
+        U8 c = p[i];
+        if (c == 9 || c == 10 || c == 13 || (c >= 32 && c < 127)) cnt++;
+    }
+    return cnt * 10 >= m * 9;
 }
 
 // x86 detection: call/jump opcodes whose rel32 upper byte is a sign
@@ -1506,6 +1818,10 @@ struct PostProc {
     bool fast = false;
     int fstate = 0;
     U32 flen = 0, foff = 0;
+    // native fast path for this implementation's own inverse-BWT
+    // program (build_bwt_pcomp): buffer the segment, invert natively
+    bool bwt_fast = false;
+    std::vector<U8> bwt_buf;
 
     void init(int ph, int pm) {
         state = 0;
@@ -1513,10 +1829,30 @@ struct PostProc {
         fast = false;
         fstate = 0;
         flen = foff = 0;
+        bwt_fast = false;
+        bwt_buf.clear();
         z.clear();
         z.header.assign(300, 0);
         z.header[4] = (U8)ph;
         z.header[5] = (U8)pm;
+    }
+
+    void bwt_write(int ch, Sink& sink) {
+        if (ch >= 0) {
+            bwt_buf.push_back((U8)ch);
+            return;
+        }
+        if (bwt_buf.size() < 4) { bwt_buf.clear(); return; }
+        int64_t n = (int64_t)bwt_buf.size() - 4;
+        U32 q = (U32)bwt_buf[n] | ((U32)bwt_buf[n + 1] << 8)
+                | ((U32)bwt_buf[n + 2] << 16)
+                | ((U32)bwt_buf[n + 3] << 24);
+        if ((int64_t)q > n) throw Err("bad BWT primary index");
+        std::vector<U8> outb((size_t)n);
+        lrz_bwt_inverse(bwt_buf.data(), outb.data(), (int32_t)n,
+                        (int32_t)q);
+        sink.write(outb.data(), n);
+        bwt_buf.clear();
     }
 
     void fast_write(int ch, Sink& sink) {
@@ -1554,6 +1890,7 @@ struct PostProc {
 
     void write(int ch, Sink& sink) {
         if (state == 5 && fast) { fast_write(ch, sink); return; }
+        if (state == 5 && bwt_fast) { bwt_write(ch, sink); return; }
         switch (state) {
             case 0:
                 if (ch < 0) throw Err("unexpected EOS");
@@ -1595,6 +1932,11 @@ struct PostProc {
                     fast = (size_t)psize == lp.size()
                         && std::memcmp(&z.header[z.hbegin], lp.data(),
                                        lp.size()) == 0
+                        && !std::getenv("LRZ_ZPAQ_FORCE_VM");
+                    const std::vector<U8>& bp = bwt_prog();
+                    bwt_fast = (size_t)psize == bp.size()
+                        && std::memcmp(&z.header[z.hbegin], bp.data(),
+                                       bp.size()) == 0
                         && !std::getenv("LRZ_ZPAQ_FORCE_VM");
                 }
                 break;
@@ -1676,6 +2018,13 @@ static void decode_one_block(Source& in, Sink& out) {
         decode_block_segments(in, out, z, m);
     } else if (fs.ok && fs.word && fs.nper == 2 && fs.per_isse) {
         FastModelT<true, 2, true> m(z, fs);
+        decode_block_segments(in, out, z, m);
+    } else if (SmallShape ss = parse_small_chain(z);
+               ss.nc == 2 && !std::getenv("LRZ_ZPAQ_FORCE_VM")) {
+        SmallChainT<2> m(z, ss);
+        decode_block_segments(in, out, z, m);
+    } else if (ss.nc == 3 && !std::getenv("LRZ_ZPAQ_FORCE_VM")) {
+        SmallChainT<3> m(z, ss);
         decode_block_segments(in, out, z, m);
     } else {
         Model m(z);
@@ -2091,13 +2440,26 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
             hs.len = (int64_t)hdr.size();
             VM z;
             z.read_header(hs);
-            Model model(z);
-            RangeEncoder<> enc;
-            enc.out = &out;
-            enc.pr = &model;
-            enc.init();
-            for (U8 b : toks) enc.compress(b);
-            enc.compress(-1);
+            SmallShape ss = parse_small_chain(z);
+            auto code_toks = [&](auto& model) {
+                RangeEncoder<typename std::remove_reference<
+                    decltype(model)>::type> enc;
+                enc.out = &out;
+                enc.pr = &model;
+                enc.init();
+                for (U8 b : toks) enc.compress(b);
+                enc.compress(-1);
+            };
+            if (ss.nc == 3) {
+                SmallChainT<3> model(z, ss);
+                code_toks(model);
+            } else if (ss.nc == 2) {
+                SmallChainT<2> model(z, ss);
+                code_toks(model);
+            } else {
+                Model model(z);
+                code_toks(model);
+            }
             out.put(0); out.put(0); out.put(0); out.put(0);
         } else {
             // stored: 4-byte big-endian count, raw bytes, zero count
@@ -2113,6 +2475,134 @@ static int64_t encode_stream_lz(Source& in, Sink& out, int level,
     }
     return out.pos;
 }
+
+// Encode ONE BWT block: SA-IS forward BWT, then the bwt bytes + LE32
+// primary row coded under a small order-1/2 ICM/ISSE model with the
+// inverse-BWT PCOMP embedded.
+static void encode_bwt_block(const U8* data, int64_t n, Sink& out) {
+    std::vector<U8> bwt((size_t)n);
+    int32_t q = lrz_bwt_forward(data, bwt.data(), (int32_t)n);
+    const std::vector<U8>& prog = bwt_prog();
+
+    int pm = 3;
+    while (((int64_t)1 << pm) < n + 8) pm++;
+    int ph = 9;
+    while (((int64_t)1 << ph) < n + 300) ph++;
+    const U8 comp[] = {ICM, 16, ISSE, 17, 0};
+    const U8 hcomp[] = {
+        17, 104, 74, 4,      // C++; *C=A; B=C; A=0
+        95, 0, 59, 112,      // D=0; HASH; *D=A   (order 1)
+        10, 25, 59, 112,     // B--; D++; HASH; *D=A (order 2)
+        56,
+    };
+    std::vector<U8> body = {1, 3, (U8)ph, (U8)pm, 2};
+    body.insert(body.end(), comp, comp + sizeof comp);
+    body.push_back(0);
+    body.insert(body.end(), hcomp, hcomp + sizeof hcomp);
+    body.push_back(0);
+    const int hsize = (int)body.size();
+
+    out.write(kTag, 13);
+    out.put('z'); out.put('P'); out.put('Q');
+    out.put(1);
+    out.put(1);
+    out.put(hsize & 255);
+    out.put(hsize >> 8);
+    out.write(body.data(), (int64_t)body.size());
+    out.put(1);
+    out.put(0);
+    char cbuf[32];
+    int cl = std::snprintf(cbuf, sizeof cbuf, "%lld", (long long)n);
+    for (int i = 0; i < cl; i++) out.put(cbuf[i]);
+    out.put(0);
+    out.put(0);
+
+    std::vector<U8> hdr;
+    hdr.push_back(hsize & 255);
+    hdr.push_back(hsize >> 8);
+    hdr.insert(hdr.end(), body.begin(), body.end());
+    Source hs{hdr.data(), 0, (int64_t)hdr.size()};
+    VM z;
+    z.read_header(hs);
+    SmallShape ss = parse_small_chain(z);
+    SmallChainT<2> model(z, ss);
+    RangeEncoder<SmallChainT<2>> enc;
+    enc.out = &out;
+    enc.pr = &model;
+    enc.init();
+    enc.compress(1);  // PCOMP: PROG psize[2] bytecode
+    enc.compress((int)(prog.size() & 255));
+    enc.compress((int)(prog.size() >> 8));
+    for (U8 x : prog) enc.compress(x);
+    for (int64_t i = 0; i < n; i++) enc.compress(bwt[(size_t)i]);
+    enc.compress((int)((U32)q & 255));
+    enc.compress((int)(((U32)q >> 8) & 255));
+    enc.compress((int)(((U32)q >> 16) & 255));
+    enc.compress((int)(((U32)q >> 24) & 255));
+    enc.compress(-1);
+    out.put(0); out.put(0); out.put(0); out.put(0);
+    out.put(254);
+    out.put(255);
+}
+
+// BWT stream: high-redundancy level-4 arm.  Blocks are independent, so
+// backend MT splits them across two threads like the CM path.
+static int64_t encode_stream_bwt(Source& in, Sink& out, int bs,
+                                 int threads) {
+    build_tables();
+    if (bs < 0) bs = 4;
+    if (bs > 11) bs = 11;
+    int64_t block_cap = ((int64_t)0x100000 << bs) - 4096;
+    // the PCOMP packs links as 24-bit values: blocks stay under 2^24
+    if (block_cap > ((int64_t)1 << 24) - 4096)
+        block_cap = ((int64_t)1 << 24) - 4096;
+    if (threads >= 2 && in.len - in.pos > (2 << 20)) {
+        int64_t half = (in.len - in.pos + threads - 1) / threads;
+        if (half < (1 << 20)) half = 1 << 20;
+        if (half < block_cap) block_cap = half;
+    }
+    std::vector<std::pair<int64_t, int64_t>> blocks;
+    for (int64_t p = in.pos; p < in.len;) {
+        int64_t n = in.len - p;
+        if (n > block_cap) n = block_cap;
+        blocks.emplace_back(p, n);
+        p += n;
+    }
+    in.pos = in.len;
+    if (blocks.size() > 1 && threads >= 2) {
+        std::vector<std::vector<U8>> bufs(blocks.size());
+        std::atomic<size_t> next{0};
+        std::atomic<bool> fail{false};
+        auto work = [&]() {
+            for (size_t i; (i = next.fetch_add(1)) < blocks.size();) {
+                int64_t off = blocks[i].first, n = blocks[i].second;
+                bufs[i].resize((size_t)(n + n / 4 + 65536));
+                Sink bsk{bufs[i].data(), 0, (int64_t)bufs[i].size()};
+                try {
+                    encode_bwt_block(in.p + off, n, bsk);
+                } catch (...) {
+                    fail = true;
+                    return;
+                }
+                if (bsk.overflow) { fail = true; return; }
+                bufs[i].resize((size_t)bsk.pos);
+            }
+        };
+        std::thread t2(work);
+        work();
+        t2.join();
+        if (fail) return -1;
+        for (auto& b : bufs) out.write(b.data(), (int64_t)b.size());
+        if (out.overflow) return -1;
+        return out.pos;
+    }
+    for (auto& blk : blocks) {
+        encode_bwt_block(in.p + blk.first, blk.second, out);
+        if (out.overflow) return -1;
+    }
+    return out.pos;
+}
+
 
 // level: the reference's 1-5 dial; redundancy: 0 (hard) .. 255 (easy)
 // from the lz4 gate measurement (src/stream.c:304-309; < 0 = neutral
@@ -2208,12 +2698,19 @@ static int64_t encode_stream(Source& in, Sink& out, int level, int bs,
                              int threads = 1) {
     if (redundancy < 0) redundancy = 128;
     if (redundancy > 255) redundancy = 255;
-    if (ttype < 0) ttype = redundancy > 192 ? 1 : 0;
+    if (ttype < 0)
+        ttype = looks_text(in.p + in.pos, in.len - in.pos) ? 1 : 0;
     if (level <= 3) return encode_stream_lz(in, out, level, bs);
     // barely-compressible data: route to the LZ77 paths instead of
     // burning CM time (libzpaq's level-4/5 low-type arms)
     if (redundancy < 48)
         return encode_stream_lz(in, out, 2, bs);
+    // high-redundancy level-4 binary: BWT + small model runs ~2x the
+    // CM chain's speed at equal-or-better ratio (the reference's
+    // mid-method BWT arm, libzpaq.cpp:7545-7731); text and level 5
+    // stay CM (the word/match models win there)
+    if (level == 4 && ttype == 0 && redundancy >= 160)
+        return encode_stream_bwt(in, out, bs, threads);
     build_tables();
     if (bs < 0) bs = 4;
     if (bs > 11) bs = 11;

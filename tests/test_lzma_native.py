@@ -165,3 +165,21 @@ def test_optimal_parse_rep_heavy():
     # adversarial case was +25% over liblzma
     ref = _lib_enc(data)
     assert len(runtime.lzma1_encode(data, level=9)) <= len(ref) * 1.02
+
+
+def test_bt_finder_family(corpus_factory, monkeypatch):
+    """bt2/bt3/bt5 match-finder variants (the SDK's numHashBytes family,
+    LzFind.c:962-1400) produce valid streams our decoder and liblzma
+    both accept; bt4 stays the default."""
+    data = corpus_factory(200_000, "mixed")
+    base = runtime.lzma1_encode(data, level=7)
+    for mf in ("bt2", "bt3", "bt4", "bt5"):
+        monkeypatch.setenv("LRZ_LZMA_MF", mf)
+        ours = runtime.lzma1_encode(data, level=7)
+        assert runtime.lzma1_decode(ours, len(data)) == data, mf
+        assert _lib_dec(ours, len(data)) == data, mf
+        # deeper hashes must stay within a few % of bt4's size
+        assert len(ours) < len(base) * 1.25, (mf, len(ours), len(base))
+    monkeypatch.setenv("LRZ_LZMA_MF", "bt4")
+    again = runtime.lzma1_encode(data, level=7)
+    assert again == base

@@ -63,3 +63,20 @@ def test_size_beats_reference(oracle, name, corpus, settings, flags):
     assert len(ours) <= ref_size, (
         f"{name}: ours {len(ours)} > reference {ref_size} "
         f"({len(ours) / ref_size:.4f}x)")
+
+
+@pytest.mark.slow
+def test_size_beats_reference_config4_unlimited(oracle):
+    """Config-4 analog (VM-image-class, -U unlimited window) at full
+    head-to-head scale: one whole-file chunk from windowed passes must
+    produce an archive within 1% of the reference binary's -U output
+    (round-2 measured +0.31% at 96MB; this pins the claim at 32MB so it
+    stays reproducible in CI with RUN_SLOW=1)."""
+    data = cb.longrange_corpus(32_000_000, span=24_000_000)
+    ours = lrz.compress(
+        data, lrz.Settings(method="lzma", unlimited=True))
+    assert lrz.decompress(ours) == data
+    ref_size, _ = cb.ref_compress_size(oracle, data, ["-U"])
+    assert len(ours) <= ref_size * 1.01, (
+        f"config4 -U: ours {len(ours)} vs reference {ref_size} "
+        f"({len(ours) / ref_size:.4f}x)")

@@ -180,6 +180,29 @@ def test_zpaq_e8e9_decodes_with_libzpaq(zpaq_ref, level):
     assert dest.raw[:dlen.value] == data
 
 
+def test_zpaq_bwt_decodes_with_libzpaq(zpaq_ref):
+    """The level-4 high-redundancy-binary arm BWTs each block and embeds
+    our inverse-BWT ZPAQL PCOMP (runtime/csrc/zpaq.cpp build_bwt_pcomp):
+    the reference's libzpaq must execute that bytecode (counting sort +
+    packed psi walk) and reconstruct the block."""
+    from lrzip_next_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    import numpy as np
+    rng = np.random.default_rng(9)
+    rec = np.zeros((3000, 256), np.uint8)
+    rec[:, :16] = rng.integers(0, 255, (3000, 16), dtype=np.uint8)
+    rec[:, 16:40] = rng.integers(0, 4, (3000, 24), dtype=np.uint8)
+    data = rec.tobytes()
+    ours = runtime.zpaq_encode(data, 4, 6, 200, 0)
+    dest = ctypes.create_string_buffer(len(data) + 4096)
+    dlen = ctypes.c_int64(0)
+    zpaq_ref.zpaq_decompress(dest, ctypes.byref(dlen), ours, len(ours),
+                             None, False, 0)
+    assert dlen.value == len(data)
+    assert dest.raw[:dlen.value] == data
+
+
 @pytest.mark.parametrize("redundancy,ttype", [(200, 1), (128, 0)])
 def test_zpaq_adaptive_models_decode_with_libzpaq(zpaq_ref, redundancy,
                                                   ttype):
