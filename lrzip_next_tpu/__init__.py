@@ -16,9 +16,18 @@ from .models.pipeline import Settings, compress, compress_stream, \
     decompress, decompress_stream
 from .format.magic import MagicHeader
 
+
+def decompress_to_device(data, settings=None, verify=False):
+    """Decompress an archive into device (HBM) arrays - see
+    models/device_decode.py (imports jax lazily)."""
+    from .models.device_decode import decompress_to_device as _f
+    return _f(data, settings=settings, verify=verify)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
     "Settings", "compress", "compress_stream", "decompress",
-    "decompress_stream", "MagicHeader", "__version__",
+    "decompress_stream", "decompress_to_device", "MagicHeader",
+    "__version__",
 ]

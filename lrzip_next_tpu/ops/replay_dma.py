@@ -74,7 +74,8 @@ def _resolve_lit_idx(q: np.ndarray, starts: np.ndarray,
 
 
 def plan_replay(kinds: np.ndarray, lengths: np.ndarray,
-                dists: np.ndarray) -> "ReplayPlan | None":
+                dists: np.ndarray,
+                slots: int = _SLOTS) -> "ReplayPlan | None":
     """Token stream -> tile plan.  Returns None when a match reaches
     before the chunk (cross-chunk history: host path owns it)."""
     lengths = np.asarray(lengths, np.int64)
@@ -185,17 +186,17 @@ def plan_replay(kinds: np.ndarray, lengths: np.ndarray,
     else:
         ts = td = tc = tb = np.zeros(0, np.int64)
 
-    step_lo = _plan_steps(ts, td, tc, tb)
+    step_lo = _plan_steps(ts, td, tc, tb, slots)
 
     tiny_q = np.asarray(sorted(set(tiny_q)), np.int64)
     tiny_lit = _resolve_lit_idx(tiny_q, starts, is_match, d, lit_base) \
         if len(tiny_q) else np.zeros(0, np.int64)
     return ReplayPlan(out_len, int(lit_base[-1] + lit_lens[-1]) if
                       len(lit_lens) else 0, ts, td, tc, tb, step_lo,
-                      tiny_q, tiny_lit)
+                      tiny_q, tiny_lit, slots)
 
 
-def _plan_steps(ts, td, tc, tb) -> np.ndarray:
+def _plan_steps(ts, td, tc, tb, slots: int = _SLOTS) -> np.ndarray:
     """Chop the dst-sorted tile list into steps of <= _SLOTS tiles whose
     DMAs may land in any order: a step ends before the first tile whose
     out-buffer read reaches at or past the step's first dst (all step
@@ -211,7 +212,7 @@ def _plan_steps(ts, td, tc, tb) -> np.ndarray:
     i = 0
     while i < n_t:
         f = td[i]
-        j_max = min(i + _SLOTS, n_t)
+        j_max = min(i + slots, n_t)
         w = read_end[i + 1:j_max] > f
         if read_end[i] > f:
             j = i + 1
@@ -225,7 +226,7 @@ def _plan_steps(ts, td, tc, tb) -> np.ndarray:
 
 class ReplayPlan:
     def __init__(self, out_len, lit_len, src, dst, cls, buf, step_lo,
-                 tiny_q, tiny_lit):
+                 tiny_q, tiny_lit, slots=_SLOTS):
         self.out_len = out_len
         self.lit_len = lit_len
         self.src = src
@@ -237,6 +238,7 @@ class ReplayPlan:
         self.tiny_lit = tiny_lit
         self.n_tiles = len(src)
         self.n_steps = len(step_lo) - 1
+        self.slots = slots
 
 
 def _bucket_pow2(t: int, lo: int = 256) -> int:
@@ -246,7 +248,7 @@ def _bucket_pow2(t: int, lo: int = 256) -> int:
     return b
 
 
-def _make_replay_kernel(lit_pad: int, out_pad: int):
+def _make_replay_kernel(lit_pad: int, out_pad: int, slots: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -279,8 +281,8 @@ def _make_replay_kernel(lit_pad: int, out_pad: int):
         # phase 1: issue every live slot's DMA (unordered within the
         # step - the planner guarantees independence; dependent tiles
         # arrive as singleton steps)
-        slots = []
-        for slot in range(_SLOTS):
+        issued = []
+        for slot in range(slots):
             j = lo + slot
             live = (j < hi)
             jc = jnp.where(live, j, lo)
@@ -288,7 +290,7 @@ def _make_replay_kernel(lit_pad: int, out_pad: int):
             bf = buf_ref[jc]
             s = src_ref[jc]
             dd = dst_ref[jc]
-            slots.append((live, c, bf, s, dd))
+            issued.append((live, c, bf, s, dd))
 
             @pl.when(live)
             def _():
@@ -303,7 +305,7 @@ def _make_replay_kernel(lit_pad: int, out_pad: int):
                 jax.lax.switch(c, [mk(sz) for sz in _CLASSES])
 
         # phase 2: drain, per slot (each sem saw exactly one DMA)
-        for slot, (live, c, bf, s, dd) in enumerate(slots):
+        for slot, (live, c, bf, s, dd) in enumerate(issued):
             @pl.when(live)
             def _():
                 def mk(size):
@@ -321,7 +323,7 @@ def _make_replay_kernel(lit_pad: int, out_pad: int):
 
 @functools.lru_cache(maxsize=None)
 def _replay_call(n_steps: int, n_tiles_b: int, lit_pad: int,
-                 out_pad: int, interpret: bool):
+                 out_pad: int, slots: int, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -335,13 +337,13 @@ def _replay_call(n_steps: int, n_tiles_b: int, lit_pad: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_SLOTS,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((slots,))],
     )
 
     @jax.jit
     def call(lo_a, cls_a, buf_a, src_a, dst_a, lit, outbuf):
         return pl.pallas_call(
-            _make_replay_kernel(lit_pad, out_pad),
+            _make_replay_kernel(lit_pad, out_pad, slots),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((out_pad,), jnp.uint8),
             input_output_aliases={6: 0},
@@ -378,7 +380,8 @@ def replay_plan_device(plan: ReplayPlan, literals_dev, interpret=False):
     ns = _bucket_pow2(max(plan.n_steps, 1), 64)
     lo_a = np.full(ns + 1, plan.n_tiles, np.int32)
     lo_a[:len(plan.step_lo)] = plan.step_lo
-    call = _replay_call(ns, nb, lit_pad, out_pad, interpret)
+    call = _replay_call(ns, nb, lit_pad, out_pad, plan.slots,
+                        interpret)
     out = call(jnp.asarray(lo_a), jnp.asarray(cls_a), jnp.asarray(buf_a),
                jnp.asarray(src_a), jnp.asarray(dst_a), lit, outbuf)
     return out[:plan.out_len]
@@ -386,8 +389,12 @@ def replay_plan_device(plan: ReplayPlan, literals_dev, interpret=False):
 
 def replay_tokens_dma(kinds, lengths, dists, literals_dev,
                       interpret=False):
-    """Token-stream replay via the DMA kernel; None when cross-chunk."""
-    plan = plan_replay(kinds, lengths, dists)
+    """Token-stream replay via the DMA kernel; None when cross-chunk.
+
+    Interpret mode (CPU tests) uses 8-slot steps: the kernel's traced
+    slot x size-class switch structure dominates interpret startup."""
+    plan = plan_replay(kinds, lengths, dists,
+                      slots=8 if interpret else _SLOTS)
     if plan is None:
         return None
     if plan.out_len == 0:
