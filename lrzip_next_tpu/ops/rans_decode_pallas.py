@@ -10,11 +10,11 @@ the 3x14-stage word-routing expand through HBM; at 64MB chunks it runs
   utilization; the flat row-major order IS the lane order, so the
   wire-format word-consumption order matches with no relayouts).
 - **Two-level table search** - finding ``s`` with cum[s] <= slot <
-  cum[s+1] uses a coarse 8-entry row (cum[ctx][j*32], one small MXU
-  one-hot fetch + 8 compares) to pick a 32-symbol block, then fetches
-  the block's packed (cum*M + f-1) values with the same (96, C*8)
+  cum[s+1] uses a coarse 4-entry row (cum[ctx][j*64], one small MXU
+  one-hot fetch + 4 compares) to pick a 64-symbol block, then fetches
+  the block's packed (cum*M + f-1) values with the same (192, C*4)
   three-plane bf16 table the encode kernel uses (ops/rans_pallas.
-  _packed_table) and reduces 32-wide.  All exact: one-term bf16
+  _packed_table) and reduces 64-wide.  All exact: one-term bf16
   products accumulate in f32, values < 2^24.
 - **Streamed word window** - the wire stream lives in HBM as (rows,
   K/8) int32; each grid step DMAs a 66-row window at the current word
@@ -149,19 +149,19 @@ def _expand_flat_tile(window, e, idx, rank, cnt, nbits: int, kc: int):
 
 
 def _coarse_table(freqs: jnp.ndarray) -> jnp.ndarray:
-    """(C, 256) freqs -> (16, C) bf16 two-plane packed coarse cums:
-    cum[ctx][32*j] for j in 0..7 (values < 4096: hi < 16, lo < 256)."""
+    """(C, 256) freqs -> (8, C) bf16 two-plane packed coarse cums:
+    cum[ctx][64*j] for j in 0..3 (values < 4096: hi < 16, lo < 256)."""
     cum = jnp.cumsum(freqs, axis=-1) - freqs
-    coarse = cum[:, ::32]                         # (C, 8) - tiny
+    coarse = cum[:, ::64]                         # (C, 4) - tiny
     return jnp.concatenate(
         [(coarse >> 8).T, (coarse & 255).T],
-        axis=0).astype(jnp.bfloat16)              # (16, C)
+        axis=0).astype(jnp.bfloat16)              # (8, C)
 
 
 def _make_decode_kernel(t_len: int, k: int, c: int, ctx_bits: int,
                         g_cnt: int):
     kc = k // 8
-    ch = c * 8
+    ch = c * 4
     nbits = max(int(k - 1).bit_length(), 1)
     shift = 8 - ctx_bits
 
@@ -187,8 +187,8 @@ def _make_decode_kernel(t_len: int, k: int, c: int, ctx_bits: int,
             stream_ref.at[pl.ds(wrow, _WIN)], win_ref, sem_ref)
         dma.start()
 
-        ctab = ctab_ref[...]                      # (16, C) bf16
-        tab = tab_ref[...]                        # (96, CH) bf16
+        ctab = ctab_ref[...]                      # (8, C) bf16
+        tab = tab_ref[...]                        # (192, CH) bf16
         lane = (jax.lax.broadcasted_iota(jnp.int32, (8, kc), 0) * kc
                 + jax.lax.broadcasted_iota(jnp.int32, (8, kc), 1))
         idx = lane                                # flat linear index
@@ -210,24 +210,24 @@ def _make_decode_kernel(t_len: int, k: int, c: int, ctx_bits: int,
                 ohc = (iota_c == cq_r).astype(jnp.bfloat16)
                 crow = jax.lax.dot_general(
                     ctab, ohc, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (16, kc)
-                coarse = crow[0:8] * 256.0 + crow[8:16]   # (8, kc) f32
+                    preferred_element_type=jnp.float32)   # (8, kc)
+                coarse = crow[0:4] * 256.0 + crow[4:8]    # (4, kc) f32
                 blk = jnp.sum((coarse <= slot_f[r:r + 1]).astype(
                     jnp.int32), axis=0, keepdims=True) - 1
-                chi = cq_r * 8 + blk
+                chi = cq_r * 4 + blk
                 iota_h = jax.lax.broadcasted_iota(jnp.int32, (ch, kc), 0)
                 ohx = (iota_h == chi).astype(jnp.bfloat16)
                 rows = jax.lax.dot_general(
                     tab, ohx, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (96, kc)
-                val = (rows[0:32] * 65536.0 + rows[32:64] * 256.0
-                       + rows[64:96]).astype(jnp.int32)   # (32, kc)
+                    preferred_element_type=jnp.float32)   # (192, kc)
+                val = (rows[0:64] * 65536.0 + rows[64:128] * 256.0
+                       + rows[128:192]).astype(jnp.int32)  # (64, kc)
                 le = _srl(val, M_BITS) <= slot[r:r + 1]
                 cnt32 = jnp.sum(le.astype(jnp.int32), axis=0,
                                 keepdims=True)
                 vsel = jnp.max(jnp.where(le, val, 0), axis=0,
                                keepdims=True)
-                s_rows.append(blk * 32 + cnt32 - 1)
+                s_rows.append(blk * 64 + cnt32 - 1)
                 v_rows.append(vsel)
             s = jnp.concatenate(s_rows, axis=0)   # (8, kc)
             vsel = jnp.concatenate(v_rows, axis=0)
@@ -307,9 +307,9 @@ def decode_scan_fused(stream_pad: jnp.ndarray, states: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, kc), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, c), lambda b: (0, 0),
+            pl.BlockSpec((8, c), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((96, c * 8), lambda b: (0, 0),
+            pl.BlockSpec((192, c * 4), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

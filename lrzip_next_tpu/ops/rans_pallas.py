@@ -14,9 +14,9 @@ This kernel keeps the entire coder state machine on-chip:
 - **Packed-table MXU lookup in VMEM** - the per-symbol (freq, cumfreq)
   pair is packed into one 24-bit value cs*4096 + (f-1), exactly
   representable in f32, split into three 8-bit planes for exact bf16
-  one-hot matmuls.  The lookup index is two-level: chi = ctx*8 +
-  (sym>>5) selects a 32-symbol row block via a (96, CH) @ (CH, S)
-  matmul; sym&31 selects within the block via a 32-wide masked
+  one-hot matmuls.  The lookup index is two-level: chi = ctx*4 +
+  (sym>>6) selects a 64-symbol row block via a (192, CH) @ (CH, S)
+  matmul; sym&63 selects within the block via a 64-wide masked
   sublane reduction.  All operands live in VMEM - zero HBM traffic.
 - **HBM traffic = the data itself** - per symbol: 4B symbol row read
   (int32 plane) + 4B fused word|flag write.  ~8B/symbol vs ~3.5KB.
@@ -160,9 +160,11 @@ def _make_kernel(t_len: int, k: int, ch: int, ctx_bits: int, sub: int,
 
     def lookup(sym, cq, tab):
         """Packed (cumfreq*M + freq-1) per lane via two-level one-hot
-        MXU matmuls; all operands VMEM-resident."""
-        chi = cq * 8 + (sym >> 5)
-        lo = sym & 31
+        MXU matmuls; all operands VMEM-resident.  64-symbol blocks:
+        the (CH, SUB) one-hot build is the kernel's dominant VPU cost,
+        so CH = 4*C beats the original 8*C split."""
+        chi = cq * 4 + (sym >> 6)
+        lo = sym & 63
         parts = []
         for s in range(nsub):
             chi_s = chi[:, s * sub:(s + 1) * sub]
@@ -171,10 +173,10 @@ def _make_kernel(t_len: int, k: int, ch: int, ctx_bits: int, sub: int,
             oh = (iota_c == chi_s).astype(jnp.bfloat16)       # (CH, SUB)
             rows = jax.lax.dot_general(
                 tab, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (96, SUB)
-            val = (rows[0:32] * 65536.0 + rows[32:64] * 256.0
-                   + rows[64:96])                             # (32, SUB)
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (32, sub), 0)
+                preferred_element_type=jnp.float32)           # (192, SUB)
+            val = (rows[0:64] * 65536.0 + rows[64:128] * 256.0
+                   + rows[128:192])                           # (64, SUB)
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (64, sub), 0)
             sel = jnp.where(iota_l == lo_s, val, 0.0)
             parts.append(jnp.sum(sel, axis=0, keepdims=True))
         v = parts[0] if nsub == 1 else jnp.concatenate(parts, axis=1)
@@ -189,7 +191,7 @@ def _make_kernel(t_len: int, k: int, ch: int, ctx_bits: int, sub: int,
             x_ref[...] = jnp.full((1, k), _L_INIT, jnp.int32)
 
         n = n_ref[0]
-        tab = tab_ref[...]                       # (96, CH) bf16
+        tab = tab_ref[...]                       # (192, CH) bf16
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
         x = x_ref[...]
         for i in reversed(range(_ROWS)):
@@ -231,14 +233,15 @@ def _make_kernel(t_len: int, k: int, ch: int, ctx_bits: int, sub: int,
 
 
 def _packed_table(freqs: jnp.ndarray) -> jnp.ndarray:
-    """(C, 256) int32 freq table -> (96, C*8) bf16 three-plane packed
-    lookup operand; val = cumfreq * M + (freq - 1) < 2^24."""
+    """(C, 256) int32 freq table -> (192, C*4) bf16 three-plane packed
+    lookup operand (64-symbol blocks); val = cumfreq * M + (freq - 1)
+    < 2^24."""
     cum = jnp.cumsum(freqs, axis=-1) - freqs
     val = cum * M + (freqs - 1)                  # (C, 256)
-    v2 = val.reshape(-1, 32)                     # (C*8, 32)
+    v2 = val.reshape(-1, 64)                     # (C*4, 64)
     return jnp.concatenate(
         [(v2 >> 16).T, ((v2 >> 8) & 255).T, (v2 & 255).T],
-        axis=0).astype(jnp.bfloat16)             # (96, C*8)
+        axis=0).astype(jnp.bfloat16)             # (192, C*4)
 
 
 @functools.partial(jax.jit, static_argnames=("ctx_bits", "interpret"))
@@ -251,10 +254,10 @@ def encode_scan_fused(s8: jnp.ndarray, n: jnp.ndarray, freqs: jnp.ndarray,
     ops/rans._encode_scan's (words, flags).
     """
     t_len, k = s8.shape
-    ch = (1 << ctx_bits) * 8
+    ch = (1 << ctx_bits) * 4
     # fewest MXU calls per step that keep the one-hot operand + fetched
-    # rows within VMEM: oh (CH, SUB) bf16 + rows (96, SUB) f32
-    sub = min(8192 if ch <= 512 else 2048, k)
+    # rows within VMEM: oh (CH, SUB) bf16 + rows (192, SUB) f32
+    sub = min(4096 if ch <= 256 else 2048, k)
     assert k % sub == 0, (k, sub)
     g_cnt = (t_len + _ROWS - 1) // _ROWS
 
@@ -282,7 +285,7 @@ def encode_scan_fused(s8: jnp.ndarray, n: jnp.ndarray, freqs: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             blk(lambda b: (g_cnt - 1 - b, 0, 0, 0)),  # prev row block
             blk(lambda b: (g_cnt - b, 0, 0, 0)),      # current rows
-            pl.BlockSpec((96, ch), lambda b: (0, 0),
+            pl.BlockSpec((192, ch), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

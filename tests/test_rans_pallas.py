@@ -80,7 +80,7 @@ def test_packed_table_layout():
     f = np.asarray(freqs)
     cum = np.cumsum(f, axis=1) - f
     val = cum * rans.M + (f - 1)
-    v2 = val.reshape(-1, 32)
+    v2 = val.reshape(-1, 64)
     expect = np.concatenate(
         [(v2 >> 16).T, ((v2 >> 8) & 255).T, (v2 & 255).T], axis=0)
     assert np.array_equal(tab, expect.astype(np.float32))
