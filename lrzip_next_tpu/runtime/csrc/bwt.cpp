@@ -62,6 +62,8 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
         // induce L-type from left
         for (int32_t c = 0; c < K; c++) head[c] = bkt[c];
         for (int32_t k = 0; k < n; k++) {
+            int32_t jp = sa[k + 8 < n ? k + 8 : n - 1];
+            if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
                 int32_t cb = comb[j - 1];
@@ -71,6 +73,8 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
         // induce S-type from right
         for (int32_t c = 0; c < K; c++) tail[c] = bkt[c + 1];
         for (int32_t k = n - 1; k >= 0; k--) {
+            int32_t jp = sa[k >= 8 ? k - 8 : 0];
+            if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
                 int32_t cb = comb[j - 1];
@@ -129,15 +133,126 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
     }
 }
 
+// Byte-specialized top level of SA-IS: suffix array of S' = in +
+// [virtual sentinel] written into sa (n+1 slots).  Same algorithm as
+// sais_int, but never materialises the int32 copy of the text: types
+// and characters live in one uint16 array (halving the random-read
+// cache footprint of the induce scans, the pass that dominates), the
+// sentinel is virtual (always sa[0]), and the scans software-prefetch
+// the comb word of the suffix a few sa slots ahead.  Recursion levels
+// still use the generic sais_int (their strings are ~n/3 and shrink).
+void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
+    if (n <= 0) { if (n == 0) sa[0] = 0; return; }
+    if (n == 1) { sa[0] = 1; sa[1] = 0; return; }
+    // comb[i] = (in[i] << 1) | is_s[i]; virtual comb(n) = 0xFFFF
+    std::vector<uint16_t> comb(n);
+    comb[n - 1] = (uint16_t)(in[n - 1] << 1);  // > sentinel: L-type
+    for (int32_t i = n - 2; i >= 0; i--) {
+        uint16_t t = in[i] < in[i + 1] ||
+                     (in[i] == in[i + 1] && (comb[i + 1] & 1));
+        comb[i] = (uint16_t)((in[i] << 1) | t);
+    }
+    auto is_lms = [&](int32_t i) {
+        return i > 0 && (i == n ||
+                         ((comb[i] & 1) && !(comb[i - 1] & 1)));
+    };
+    int32_t bkt[257];
+    std::memset(bkt, 0, sizeof(bkt));
+    for (int32_t i = 0; i < n; i++) bkt[in[i] + 1]++;
+    for (int32_t c = 0; c < 256; c++) bkt[c + 1] += bkt[c];
+    int32_t head[256], tail[256];
+
+    auto induce = [&](const std::vector<int32_t>& lms) {
+        std::fill(sa, sa + n + 1, -1);
+        sa[0] = n;  // sentinel suffix: smallest, own bucket
+        // place LMS suffixes at ends of their buckets (reverse order)
+        for (int32_t c = 0; c < 256; c++) tail[c] = 1 + bkt[c + 1];
+        for (int32_t j = (int32_t)lms.size() - 1; j >= 0; j--) {
+            int32_t i = lms[j];
+            if (i < n) sa[--tail[in[i]]] = i;
+        }
+        // induce L-type from left
+        for (int32_t c = 0; c < 256; c++) head[c] = 1 + bkt[c];
+        for (int32_t k = 0; k <= n; k++) {
+            int32_t jp = sa[k + 8 <= n ? k + 8 : n];
+            if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
+            int32_t j = sa[k];
+            if (j > 0) {
+                uint16_t cb = comb[j - 1];
+                if (!(cb & 1)) sa[head[cb >> 1]++] = j - 1;
+            }
+        }
+        // induce S-type from right
+        for (int32_t c = 0; c < 256; c++) tail[c] = 1 + bkt[c + 1];
+        for (int32_t k = n; k >= 0; k--) {
+            int32_t jp = sa[k >= 8 ? k - 8 : 0];
+            if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
+            int32_t j = sa[k];
+            if (j > 0) {
+                uint16_t cb = comb[j - 1];
+                if (cb & 1) sa[--tail[cb >> 1]] = j - 1;
+            }
+        }
+    };
+
+    std::vector<int32_t> lms;  // ascending; includes the sentinel (n)
+    for (int32_t i = 1; i <= n; i++)
+        if (is_lms(i)) lms.push_back(i);
+
+    induce(lms);
+
+    // compact sorted LMS suffixes and name their substrings
+    std::vector<int32_t> sorted_lms;
+    sorted_lms.reserve(lms.size());
+    for (int32_t k = 0; k <= n; k++)
+        if (is_lms(sa[k])) sorted_lms.push_back(sa[k]);
+
+    auto cmb = [&](int32_t i) -> uint32_t {
+        return i < n ? comb[i] : 0xFFFFu;  // unique sentinel marker
+    };
+    std::vector<int32_t> name(n + 1, -1);
+    int32_t names = 0;
+    int32_t prev = -1;
+    for (int32_t j : sorted_lms) {
+        if (prev < 0) {
+            name[j] = names++;
+        } else {
+            // compare LMS substrings (chars+types through the
+            // terminating LMS position); the sentinel marker can only
+            // match itself, and only one substring reaches it
+            bool same = true;
+            for (int32_t d = 0;; d++) {
+                if (cmb(prev + d) != cmb(j + d)) { same = false; break; }
+                bool le = is_lms(prev + d), lj = is_lms(j + d);
+                if (d > 0 && (le || lj)) { same = le && lj; break; }
+            }
+            name[j] = same ? names - 1 : names++;
+        }
+        prev = j;
+    }
+
+    if (names < (int32_t)lms.size()) {
+        // recurse on the named LMS string (generic int path)
+        std::vector<int32_t> s1(lms.size()), sa1(lms.size());
+        for (size_t k = 0; k < lms.size(); k++) s1[k] = name[lms[k]];
+        std::vector<int32_t> scratch;
+        sais_int(s1.data(), sa1.data(), (int32_t)lms.size(), names,
+                 scratch);
+        std::vector<int32_t> ordered(lms.size());
+        for (size_t k = 0; k < lms.size(); k++)
+            ordered[k] = lms[sa1[k]];
+        induce(ordered);
+    } else {
+        induce(sorted_lms);
+    }
+}
+
 // BWT with explicit sentinel: conceptual string S' = S + [256].
 // Returns primary row q (where the sentinel character would sit in the
 // BWT column); out gets the n remaining BWT bytes.
 int32_t bwt_forward(const uint8_t* in, uint8_t* out, int32_t n) {
-    std::vector<int32_t> s(n + 1), sa(n + 1);
-    for (int32_t i = 0; i < n; i++) s[i] = in[i] + 1;
-    s[n] = 0;  // sentinel, strictly smallest
-    std::vector<int32_t> scratch;
-    sais_int(s.data(), sa.data(), n + 1, 258, scratch);
+    std::vector<int32_t> sa(n + 1);
+    sais_u8(in, sa.data(), n);
     // rotations of S' sorted = suffix order (sentinel ends the string)
     int32_t q = -1, w = 0;
     for (int32_t i = 0; i <= n; i++) {
@@ -156,11 +271,8 @@ int32_t bwt_forward(const uint8_t* in, uint8_t* out, int32_t n) {
 // latency that makes the single-chain walk ~16 MB/s.
 int32_t bwt_forward_ck(const uint8_t* in, uint8_t* out, int32_t n,
                        int c, uint32_t* ckpt) {
-    std::vector<int32_t> s(n + 1), sa(n + 1);
-    for (int32_t i = 0; i < n; i++) s[i] = in[i] + 1;
-    s[n] = 0;
-    std::vector<int32_t> scratch;
-    sais_int(s.data(), sa.data(), n + 1, 258, scratch);
+    std::vector<int32_t> sa(n + 1);
+    sais_u8(in, sa.data(), n);
     const int64_t L = ((int64_t)n + c - 1) / c;
     int32_t q = -1, w = 0;
     for (int32_t i = 0; i <= n; i++) {
