@@ -42,6 +42,14 @@ def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
     if len(data) == 0:
         return None
     bs = bzip3_block_size_from_prop(cfg.bzip3_bs or 0)
+    if cfg.bemt and len(data) > (4 << 20):
+        # backend MT (--nobemt disables): split large blocks four ways
+        # (2MB floor, requested size stays the ceiling) so the pool
+        # below runs the SA-IS fronts in parallel - the backend-MT
+        # analog of libbz3's block threading.  The framing is
+        # self-describing, so decode is unchanged; --nobemt restores
+        # exact single-block coding at the requested block size.
+        bs = min(bs, max(2 << 20, -(-len(data) // 4)))
     subs = [data[i:i + bs] for i in range(0, len(data), bs)]
     if len(subs) > 1:
         with ThreadPoolExecutor(max_workers=min(len(subs), 4)) as pool:
