@@ -94,15 +94,19 @@ def _excl_cumsum_flat(x: jnp.ndarray, kc: int) -> jnp.ndarray:
     while s < kc:
         inc = inc + jnp.pad(inc, ((0, 0), (s, 0)))[:, :kc]
         s <<= 1
-    row_tot = jnp.broadcast_to(inc[:, kc - 1:kc], (8, kc)).astype(
-        jnp.float32)
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
-           < jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
-           ).astype(jnp.float32)
-    row_prefix = jax.lax.dot_general(
-        tri, row_tot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    return inc - x + row_prefix
+    # cross-row prefix WITHOUT the (8,8)@(8,kc) triangular matmul: on
+    # real v5e Mosaic miscompiled that contraction for some operand
+    # values (row 5's total read one short -> every rank in rows 6-7
+    # short by one -> routing collision -> dropped stream word; found
+    # vs the XLA scan at 4MB, grid step 127 - tools/_dbg_decode.py).
+    # Log-shift sublane adds use only concats, the construct the
+    # window machinery already proves on hardware.
+    row_tot = jnp.broadcast_to(jnp.sum(x, axis=1, keepdims=True), (8, kc))
+    rp = row_tot
+    for s in (1, 2, 4):
+        rp = rp + jnp.concatenate(
+            [jnp.zeros((s, kc), jnp.int32), rp[:-s]], axis=0)
+    return inc - x + rp - row_tot
 
 
 def _route_left_flat(v, d, m, nbits: int, kc: int):
