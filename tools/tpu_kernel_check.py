@@ -1,0 +1,87 @@
+"""Cross-validate every Pallas rANS kernel against its bit-identical
+XLA twin ON REAL HARDWARE.
+
+The CPU test suite runs these kernels in interpret mode, which lowers
+differently from Mosaic; a real-chip miscompile (like the cross-row
+prefix bug fixed in ops/rans_decode_pallas._excl_cumsum_flat) is
+invisible to it.  Run this after any kernel change, on any new jax
+version, and at any new size bucket:
+
+    python tools/tpu_kernel_check.py [MB]
+
+Exit is nonzero on any mismatch.  See also tools/_dbg_decode.py (the
+instrumented per-row trace harness used to bisect inside the decode
+kernel) and tools/_dbg_ref.py (its numpy reference trajectory).
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time, traceback
+import numpy as np, jax, jax.numpy as jnp
+from lrzip_next_tpu.utils import jaxcache; jaxcache.enable()
+from lrzip_next_tpu.ops import rans
+from lrzip_next_tpu.ops.rans import (_plan, quantize_freqs, _SAMPLE_TARGET,
+                                     joint_histogram, _encode_scan,
+                                     _pack_words_xla, _decode_scan)
+
+MB = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+n = MB << 20
+base = np.frombuffer(open('/root/reference/src/rzip.c','rb').read(), np.uint8)
+data = np.tile(base, n // len(base) + 1)[:n]
+dev = jnp.asarray(data)
+int(jnp.sum(dev[:1]))
+print(f"n={n} platform={jax.devices()[0].platform}", flush=True)
+
+s8, ctxq, k, t_len = _plan(dev, n, 6)
+print(f"k={k} t_len={t_len}", flush=True)
+srate = max(1, (t_len * k) // _SAMPLE_TARGET)
+
+FAILED = []
+
+def eq(name, a, b):
+    a = np.asarray(a); b = np.asarray(b)
+    same = a.shape == b.shape and bool((a == b).all())
+    print(f"[{'ok' if same else 'DIFF'}] {name}", flush=True)
+    if not same:
+        FAILED.append(name)
+    if not same and a.shape == b.shape:
+        d = np.nonzero(a != b)
+        print(f"   first diffs at {[tuple(x[:5]) for x in d]}"
+              f" a={a[tuple(x[:5] for x in d)][:5]} b={b[tuple(x[:5] for x in d)][:5]}", flush=True)
+    return same
+
+from lrzip_next_tpu.ops.rans_pallas import encode_scan_fused, joint_histogram_pallas
+from lrzip_next_tpu.ops.streampack import pack_plane_pallas
+
+# 1. histogram
+c_p = joint_histogram_pallas(s8, jnp.int32(n), 6, srate)
+c_x = joint_histogram(s8, ctxq, jnp.int32(n), 6, srate)
+eq("histogram", c_p, c_x)
+freqs = quantize_freqs(c_x)
+
+# 2. encode scan
+st_p, plane = encode_scan_fused(s8, jnp.int32(n), freqs, 6)
+st_x, words_x, flags_x = _encode_scan(s8, ctxq, jnp.int32(n), freqs, 6)
+eq("encode states", st_p, st_x)
+eq("encode words", np.asarray(plane) & 0xFFFF, np.asarray(words_x).astype(np.int32))
+eq("encode flags", (np.asarray(plane) >> 16) & 1, np.asarray(flags_x).astype(np.int32))
+
+# 3. pack
+cap = t_len * k
+pk_p, nw_p = pack_plane_pallas(plane, cap)
+pk_x, nw_x = _pack_words_xla(jnp.asarray(np.asarray(words_x)), jnp.asarray(np.asarray(flags_x)), cap)
+eq("pack words", pk_p, pk_x)
+eq("pack count", np.asarray(nw_p), np.asarray(nw_x))
+
+# 4. decode: XLA scan on the XLA-packed stream (ground truth)
+pad = t_len * k + k - pk_x.shape[0]
+spx = jnp.concatenate([pk_x.astype(jnp.int32), jnp.zeros((max(pad,0),), jnp.int32)])
+syms_x, xf_x = _decode_scan(spx, st_x, freqs, jnp.int32(n), 6, t_len)
+ok_x = bool((np.asarray(syms_x).T.reshape(-1)[:n] == data).all())
+print(f"[{'ok' if ok_x else 'DIFF'}] XLA decode roundtrip; xf==L: {bool((np.asarray(xf_x)==rans.L).all())}", flush=True)
+
+# 5. Pallas decode on the same stream
+from lrzip_next_tpu.ops.rans_decode_pallas import decode_scan_fused
+syms_p, xf_p = decode_scan_fused(pk_x.astype(jnp.int32), st_x, freqs, jnp.int32(n), 6, t_len)
+eq("pallas decode syms", syms_p, np.asarray(syms_x))
+eq("pallas decode xf", xf_p, xf_x)
+sys.exit(1 if FAILED else 0)
