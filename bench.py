@@ -80,7 +80,7 @@ def bench_matcher_device(data: np.ndarray, stride: int = 8) -> float:
     reference's per-level hash insert frequency (src/rzip.c:67-82)."""
     import jax
     import jax.numpy as jnp
-    from lrzip_next_tpu.ops.matcher import (anchor_candidates,
+    from lrzip_next_tpu.ops.matcher import (anchor_candidates_unordered,
                                             _seed_compact_impl)
 
     compact = _seed_compact_impl()  # Pallas kernel on real accelerators
@@ -93,7 +93,7 @@ def bench_matcher_device(data: np.ndarray, stride: int = 8) -> float:
     cap = max(min(kk, 4096), kk // 64)
 
     def step_async():
-        pos, cand, ok = anchor_candidates(dev, stride)
+        pos, cand, ok = anchor_candidates_unordered(dev, stride)
         return compact(pos, cand, ok, jnp.int32(m), cap, stride)[3]
 
     int(step_async())  # compile + sync (scalar readback: the axon
@@ -256,8 +256,14 @@ def main() -> int:
               f"ratio {dev_ratio:.2f}x", file=sys.stderr)
     except Exception as e:
         # record the reason in the JSON line: a fallback headline must
-        # never be silent about WHY the e2e path failed
-        dev_fail = f"{type(e).__name__}: {e}"[:300]
+        # never be silent about WHY the e2e path failed.  The traceback
+        # tail names the failing stage (kernel), not just the error.
+        import traceback
+        tb = [ln for ln in traceback.format_exc().splitlines()
+              if "/lrzip_next_tpu/" in ln or "bench.py" in ln]
+        dev_fail = (f"{type(e).__name__}: {e}"[:300]
+                    + " | at: " + " <- ".join(
+                        ln.strip()[:90] for ln in reversed(tb[-4:])))
         print(f"[bench] device e2e failed: {dev_fail}", file=sys.stderr)
 
     try:

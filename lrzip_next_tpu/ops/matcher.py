@@ -161,7 +161,7 @@ def _forward_window_min_i32(x: jnp.ndarray, length: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("stride",))
-def anchor_candidates(data: jnp.ndarray, stride: int):
+def _anchor_candidates_fporder(data: jnp.ndarray, stride: int):
     """Sampled-anchor variant of :func:`match_candidates`.
 
     The reference trades coverage for speed with its per-level hash
@@ -175,9 +175,9 @@ def anchor_candidates(data: jnp.ndarray, stride: int):
     Detectable matches shrink to ~MINIMUM_MATCH + 1.5*stride bytes;
     shorter redundancy is the backend codec's job anyway.
 
-    Returns (pos, cand, ok): anchor byte positions (ascending), the
-    candidate (nearest previous equal-fingerprint anchor) byte position,
-    and validity.  Length m // stride.
+    Returns (spos, cand_sorted) in fingerprint-sorted order; cand is -1
+    where no previous equal-fingerprint anchor exists.  Length
+    m // stride.
     """
     assert stride in (2, 4, 8, 16, 32), stride  # 5-bit col, 128%stride==0
     n = data.shape[0]
@@ -251,9 +251,30 @@ def anchor_candidates(data: jnp.ndarray, stride: int):
         & (sfpa[1:] != big)])
     prev_pos = jnp.concatenate([jnp.zeros((1,), jnp.int32), spos[:-1]])
     cand_sorted = jnp.where(same, prev_pos, jnp.int32(-1))
+    return spos, cand_sorted
+
+
+def anchor_candidates(data: jnp.ndarray, stride: int):
+    """Position-ordered anchor seeds (see _anchor_candidates_fporder).
+
+    Returns (pos, cand, ok): anchor byte positions (ascending), the
+    candidate (nearest previous equal-fingerprint anchor) byte position,
+    and validity.  Length m // stride."""
+    spos, cand_sorted = _anchor_candidates_fporder(data, stride)
     # back to position order (anchors were generated ascending)
     pos, cand = jax.lax.sort((spos, cand_sorted), num_keys=1)
     return pos, cand, cand >= 0
+
+
+def anchor_candidates_unordered(data: jnp.ndarray, stride: int):
+    """Anchor seeds in fingerprint-sorted order - NO position re-sort.
+
+    The production compact path chains seeds in (dist, pos) order,
+    which is a full k-sized sort of its own and order-invariant to its
+    input (_dist_sorted_seed_starts); restoring position order first
+    was a wasted third k-sized sort (~20ms of a ~90ms 64MB step)."""
+    spos, cand_sorted = _anchor_candidates_fporder(data, stride)
+    return spos, cand_sorted, cand_sorted >= 0
 
 
 def _anchor_chain_masks(pos, cand, ok, limit, stride):
@@ -585,7 +606,7 @@ class TpuMatchJob:
             # bucketed cap (never the full k - that compiles a huge
             # merge and ships megabytes through the tunnel)
             self.cap = max(min(k, 4096), k // 64)
-            pos, cand, ok = anchor_candidates(dev, stride)
+            pos, cand, ok = anchor_candidates_unordered(dev, stride)
             self.compacted = _seed_compact_impl()(
                 pos, cand, ok, jnp.int32(self.limit), self.cap, stride)
             self.redo = lambda c: _seed_compact_impl()(
