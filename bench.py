@@ -197,10 +197,12 @@ def bench_e2e_device(arr: np.ndarray) -> tuple:
     assert out == arr.tobytes(), "device e2e round trip failed"
 
     # timed decode: device-resident stream (the encode's packed words)
-    # -> rANS decode (Pallas) -> host-planned DMA interval-copy replay;
+    # -> rANS decode (Pallas) -> token replay (native flatten + sort-
+    # merge gather, the production hardware path; the DMA interval-copy
+    # kernel is LRZ_REPLAY_DMA-gated - Mosaic byte-DMA limitation);
     # output stays in HBM
-    from lrzip_next_tpu.ops.replay_dma import plan_replay, \
-        replay_plan_device
+    from lrzip_next_tpu.models.device_path import \
+        replay_tokens_device_array
     kinds, lengths, dists = tokens
     k_lanes = enc.states.shape[0]
 
@@ -210,8 +212,8 @@ def bench_e2e_device(arr: np.ndarray) -> tuple:
             enc.n_lit, enc.ctx_bits, k_lanes, enc.t_len)
         if not bool(jnp.all(xf == rans.L)):
             raise ValueError("corrupt stream")
-        plan = plan_replay(kinds, lengths, dists)
-        outd = replay_plan_device(plan, plane[:max(enc.n_lit, 1)])
+        outd = replay_tokens_device_array(
+            kinds, lengths, dists, plane[:max(enc.n_lit, 1)])
         return int(outd[0])  # scalar sync; chunk bytes stay in HBM
 
     decompress_once()  # compile + warm

@@ -45,6 +45,8 @@ def decompress_to_device(data, settings: Optional[Settings] = None,
     import jax.numpy as jnp
     from .. import runtime
     from ..ops.replay_dma import plan_replay, replay_plan_device
+    from .device_path import _dma_replay_enabled, \
+        replay_tokens_device_array
 
     settings = settings or Settings()
     fd = io.BytesIO(data) if isinstance(
@@ -100,17 +102,27 @@ def decompress_to_device(data, settings: Optional[Settings] = None,
                 plane = None
                 lit_dev = jnp.asarray(np.frombuffer(
                     stream1 if stream1 else b"\0", dtype=np.uint8))
-            plan = plan_replay(kinds, lengths, dists,
-                               slots=8 if interpret else 64)
-            if plan is None:
-                raise ValueError(
-                    "archive has cross-chunk matches: device decode "
-                    "needs chunk-local distances")
-            if plan.out_len == 0:
-                out = jnp.zeros((0,), jnp.uint8)
+            if interpret or _dma_replay_enabled(jax):
+                plan = plan_replay(kinds, lengths, dists,
+                                   slots=8 if interpret else 64)
+                if plan is None:
+                    raise ValueError(
+                        "archive has cross-chunk matches: device "
+                        "decode needs chunk-local distances")
+                if plan.out_len == 0:
+                    out = jnp.zeros((0,), jnp.uint8)
+                else:
+                    out = replay_plan_device(plan, lit_dev,
+                                             interpret=interpret)
             else:
-                out = replay_plan_device(plan, lit_dev,
-                                         interpret=interpret)
+                # hardware path (Mosaic byte-DMA limitation - see
+                # models/device_path.replay_device)
+                out = replay_tokens_device_array(kinds, lengths,
+                                                 dists, lit_dev)
+                if out is None:
+                    raise ValueError(
+                        "archive has cross-chunk matches: device "
+                        "decode needs chunk-local distances")
             if plane is not None:
                 plane.check()
             chunks.append(out)

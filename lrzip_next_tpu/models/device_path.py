@@ -69,6 +69,13 @@ def _pack_impl():
     return _pack_words_impl()
 
 
+def _dma_replay_enabled(jax) -> bool:
+    """DMA interval-copy replay opt-in (see replay_device)."""
+    import os
+    return (jax.devices()[0].platform != "cpu"
+            and os.environ.get("LRZ_REPLAY_DMA") == "1")
+
+
 def literal_spans(kinds: np.ndarray, lengths: np.ndarray
                   ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Chunk-coordinate (starts, ends) of literal tokens + total bytes."""
@@ -227,9 +234,14 @@ def replay_device(kinds: np.ndarray, lengths: np.ndarray,
     literals = plane.plane if plane.plane is not None \
         else jnp.zeros(1, jnp.uint8)
 
-    if jax.devices()[0].platform != "cpu":
-        # primary path on real accelerators: host-planned batched-DMA
-        # interval copies (ops/replay_dma) - no 2x(n+L)-element sorts
+    if _dma_replay_enabled(jax):
+        # opt-in on real accelerators: host-planned batched-DMA
+        # interval copies (ops/replay_dma) - no 2x(n+L)-element sorts.
+        # Default-off on hardware: current Mosaic cannot lower byte-
+        # granular 1-D HBM DMA slices ("tile index ... divisible by
+        # the tiling (1024)"); the kernel is interpret-proven and
+        # gated behind LRZ_REPLAY_DMA=1 until the aligned staging
+        # rewrite lands.
         from ..ops.replay_dma import replay_tokens_dma
         out = replay_tokens_dma(kinds, lengths, d,
                                 literals[:max(lit_total, 1)])
@@ -238,26 +250,57 @@ def replay_device(kinds: np.ndarray, lengths: np.ndarray,
             plane.check()
             return res.tobytes()
 
-    flat = runtime.flatten_replay(kinds, lengths, d) \
-        if runtime.available() else None
-    if flat is not None:
-        out = replay_flat_tpu(flat[0], flat[1], literals, out_len)
-    else:
-        lit_base = (np.cumsum(lit_lens) - lit_lens).astype(np.int32)
-        t = len(starts)
-        tb = _token_bucket(t)
-        st = np.full(tb, out_len, np.int32)
-        st[:t] = starts
-        im = np.zeros(tb, bool)
-        im[:t] = is_match
-        dd = np.zeros(tb, np.int32)
-        dd[:t] = d
-        lb = np.zeros(tb, np.int32)
-        lb[:t] = lit_base
-        src, lit_idx = expand_tokens(jnp.asarray(st), jnp.asarray(im),
-                                     jnp.asarray(dd), jnp.asarray(lb),
-                                     out_len)
-        out = resolve_bytes(src, lit_idx, literals)
+    out = _replay_gather_array(kinds, lengths, d, is_match, starts,
+                               lit_lens, literals, out_len)
     res = np.asarray(jax.device_get(out))
     plane.check()
     return res.tobytes()
+
+
+def _replay_gather_array(kinds, lengths, d, is_match, starts, lit_lens,
+                         literals, out_len: int):
+    """Sort-merge gather replay -> device uint8 array (the hardware
+    replay path; see replay_device's DMA gating note)."""
+    jax, jnp = _jx()
+    from .. import runtime
+    from ..ops.replay import expand_tokens, replay_flat_tpu, resolve_bytes
+    flat = runtime.flatten_replay(kinds, lengths, d) \
+        if runtime.available() else None
+    if flat is not None:
+        return replay_flat_tpu(flat[0], flat[1], literals, out_len)
+    lit_base = (np.cumsum(lit_lens) - lit_lens).astype(np.int32)
+    t = len(starts)
+    tb = _token_bucket(t)
+    st = np.full(tb, out_len, np.int32)
+    st[:t] = starts
+    im = np.zeros(tb, bool)
+    im[:t] = is_match
+    dd = np.zeros(tb, np.int32)
+    dd[:t] = d
+    lb = np.zeros(tb, np.int32)
+    lb[:t] = lit_base
+    src, lit_idx = expand_tokens(jnp.asarray(st), jnp.asarray(im),
+                                 jnp.asarray(dd), jnp.asarray(lb),
+                                 out_len)
+    return resolve_bytes(src, lit_idx, literals)
+
+
+def replay_tokens_device_array(kinds, lengths, dists, lit_dev):
+    """Token replay -> device-resident uint8 chunk (or None when a
+    match reaches before the chunk).  Hardware path: native flatten +
+    sort-merge gather; the DMA interval-copy kernel is opt-in via
+    LRZ_REPLAY_DMA=1 (Mosaic byte-DMA limitation - replay_device)."""
+    jax, jnp = _jx()
+    lengths = np.asarray(lengths, dtype=np.int64)
+    out_len = int(lengths.sum())
+    if out_len == 0:
+        return jnp.zeros((0,), jnp.uint8)
+    ends = np.cumsum(lengths)
+    starts = (ends - lengths).astype(np.int64)
+    is_match = np.asarray(kinds) == 1
+    d = np.asarray(dists, dtype=np.int64)
+    if bool((d[is_match] > starts[is_match]).any()):
+        return None
+    lit_lens = np.where(is_match, 0, lengths)
+    return _replay_gather_array(kinds, lengths, d, is_match, starts,
+                                lit_lens, lit_dev, out_len)
