@@ -29,7 +29,7 @@ class BackendConfig:
     def __init__(self, compression_level: int = 7, dict_size: int = 0,
                  zpaq_level: int = 0, zpaq_bs: int = 0, bzip3_bs: int = 0,
                  zstd_level: int = 0, zstd_strategy: int = 0,
-                 threads: int = 1, bemt: bool = True):
+                 threads: int = 1, bemt: bool = True, lzma_mf: int = 0):
         self.compression_level = compression_level
         self.dict_size = dict_size
         self.zpaq_level = zpaq_level
@@ -39,6 +39,8 @@ class BackendConfig:
         self.zstd_strategy = zstd_strategy
         self.threads = threads
         self.bemt = bemt  # backend-internal MT (--nobemt disables)
+        self.lzma_mf = lzma_mf  # 0 = bt4 default, 2..5 = bt2..bt5
+        # (--lzma-mf; SDK MatchFinder_CreateVTable numHashBytes dial)
 
 
 _COMPRESSORS: Dict[int, Compressor] = {}

@@ -62,7 +62,8 @@ def compress(data: bytes, cfg: BackendConfig) -> Optional[bytes]:
         return runtime.lzma1_encode(
             data, level=level, dict_size=_dict_size(cfg, len(data)),
             lc=LZMA_LC, lp=LZMA_LP, pb=LZMA_PB,
-            threads=2 if cfg.bemt else 1)
+            threads=2 if cfg.bemt else 1,
+            mf=getattr(cfg, "lzma_mf", 0))
     comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW,
                                filters=_filters(cfg, len(data)))
     return comp.compress(data) + comp.flush()

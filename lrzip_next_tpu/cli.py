@@ -57,8 +57,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--nobemt", action="store_true",
                    help="disable backend-internal multithreading "
                         "(the LZMA match-finder pipeline)")
+    g.add_argument("--lzma-mf", choices=["bt2", "bt3", "bt4", "bt5"],
+                   default=None,
+                   help="LZMA match-finder family at levels 5-9 "
+                        "(default bt4, the reference's choice; bt2/bt3 "
+                        "trade ratio for speed, bt5 the reverse)")
     g.add_argument("--zpaqbs", type=int, default=None)
-    g.add_argument("--bzip3bs", type=int, default=None)
+    g.add_argument("--bzip3bs", type=int, default=None,
+                   help="bzip3 block size code 0-8 (32MB max); with "
+                        "backend MT on (default), 4-32MB inputs are "
+                        "split 4 ways so the effective BWT block may "
+                        "be smaller than requested - --nobemt restores "
+                        "exact single-block coding at this size")
     g.add_argument("--zstd-level", type=int, default=None)
 
     f = p.add_argument_group("Filtering Options")
@@ -164,6 +174,8 @@ def settings_from_args(args, conf=None) -> pipeline.Settings:
         if not 0 <= args.dictsize <= 40:
             raise SystemExit("dictsize must be 0..40")
         s.dict_size = C.lzma2_dict_size_from_prop(args.dictsize)
+    if args.lzma_mf is not None:
+        s.lzma_mf = int(args.lzma_mf[2])
     if args.zstd_level is not None:
         s.zstd_level = args.zstd_level
     if args.zpaqbs is not None:

@@ -10,8 +10,9 @@ second host->device copy.  This module replays archives ON the device:
   the host;
 - host-backend literal blocks (lzma/zstd/... - anything the reference
   writes) decode on host threads and upload once;
-- token replay runs as the DMA interval-copy kernel (ops/replay_dma)
-  either way, so the chunk bytes materialize in HBM at copy speed.
+- token replay runs as the ragged literal-concat kernel
+  (ops/replay_ragged) either way, so the chunk bytes materialize in
+  HBM at copy speed.
 
 Output stays device-resident; pass verify=True to read it back and
 check the stored per-chunk CRCs (costs the device->host transfer this
@@ -44,9 +45,7 @@ def decompress_to_device(data, settings: Optional[Settings] = None,
     import jax
     import jax.numpy as jnp
     from .. import runtime
-    from ..ops.replay_dma import plan_replay, replay_plan_device
-    from .device_path import _dma_replay_enabled, \
-        replay_tokens_device_array
+    from .device_path import replay_tokens_device_array
 
     settings = settings or Settings()
     fd = io.BytesIO(data) if isinstance(
@@ -102,27 +101,29 @@ def decompress_to_device(data, settings: Optional[Settings] = None,
                 plane = None
                 lit_dev = jnp.asarray(np.frombuffer(
                     stream1 if stream1 else b"\0", dtype=np.uint8))
-            if interpret or _dma_replay_enabled(jax):
-                plan = plan_replay(kinds, lengths, dists,
-                                   slots=8 if interpret else 64)
-                if plan is None:
-                    raise ValueError(
-                        "archive has cross-chunk matches: device "
-                        "decode needs chunk-local distances")
-                if plan.out_len == 0:
-                    out = jnp.zeros((0,), jnp.uint8)
+            if interpret:
+                # CPU test mesh: run the production ragged-concat
+                # kernel in interpret mode so this API's device path
+                # is the code the tests exercise
+                lengths64 = np.asarray(lengths, np.int64)
+                flat = runtime.flatten_replay(kinds, lengths64,
+                                              np.asarray(dists, np.int64)) \
+                    if runtime.available() else None
+                if flat is None:
+                    out = replay_tokens_device_array(kinds, lengths,
+                                                     dists, lit_dev)
                 else:
-                    out = replay_plan_device(plan, lit_dev,
-                                             interpret=interpret)
+                    from ..ops.replay_ragged import replay_pieces_ragged
+                    out = replay_pieces_ragged(
+                        flat[0], flat[1], lit_dev,
+                        int(lengths64.sum()), interpret=True)
             else:
-                # hardware path (Mosaic byte-DMA limitation - see
-                # models/device_path.replay_device)
                 out = replay_tokens_device_array(kinds, lengths,
                                                  dists, lit_dev)
-                if out is None:
-                    raise ValueError(
-                        "archive has cross-chunk matches: device "
-                        "decode needs chunk-local distances")
+            if out is None:
+                raise ValueError(
+                    "archive has cross-chunk matches: device "
+                    "decode needs chunk-local distances")
             if plane is not None:
                 plane.check()
             chunks.append(out)

@@ -69,13 +69,6 @@ def _pack_impl():
     return _pack_words_impl()
 
 
-def _dma_replay_enabled(jax) -> bool:
-    """DMA interval-copy replay opt-in (see replay_device)."""
-    import os
-    return (jax.devices()[0].platform != "cpu"
-            and os.environ.get("LRZ_REPLAY_DMA") == "1")
-
-
 def literal_spans(kinds: np.ndarray, lengths: np.ndarray
                   ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Chunk-coordinate (starts, ends) of literal tokens + total bytes."""
@@ -204,19 +197,17 @@ def replay_device(kinds: np.ndarray, lengths: np.ndarray,
 
     Primary path: the native runtime flattens match chains at token
     granularity (every byte sources directly from the literal stream),
-    then the device computes per-byte literal indices with a
-    scatter+cummax (no gathers) and materializes bytes with the
-    2-sort merge gather (ops/replay.gather_by_sort) - per-element
-    gathers cost ~40ns each on TPU, 19s for a 64MB chunk.  Fallback
-    (plan blowup on byte-RLE chains, or no native runtime): the
-    pointer-doubling resolver.
+    then the ragged literal-concat kernel (ops/replay_ragged:
+    aligned-window DMA + dynamic roll + masked merge) materializes the
+    chunk on real accelerators; on CPU the sort-merge gather
+    (ops/replay.gather_by_sort) does.  Fallback (plan blowup on
+    byte-RLE chains, or no native runtime): the pointer-doubling
+    resolver.
 
     Returns the chunk bytes, or None when the tokens reach back before
     the chunk (cross-chunk history lives on the host side).
     """
     jax, jnp = _jx()
-    from .. import runtime
-    from ..ops.replay import expand_tokens, replay_flat_tpu, resolve_bytes
     lengths = np.asarray(lengths, dtype=np.int64)
     out_len = int(lengths.sum())
     if out_len == 0:
@@ -234,22 +225,6 @@ def replay_device(kinds: np.ndarray, lengths: np.ndarray,
     literals = plane.plane if plane.plane is not None \
         else jnp.zeros(1, jnp.uint8)
 
-    if _dma_replay_enabled(jax):
-        # opt-in on real accelerators: host-planned batched-DMA
-        # interval copies (ops/replay_dma) - no 2x(n+L)-element sorts.
-        # Default-off on hardware: current Mosaic cannot lower byte-
-        # granular 1-D HBM DMA slices ("tile index ... divisible by
-        # the tiling (1024)"); the kernel is interpret-proven and
-        # gated behind LRZ_REPLAY_DMA=1 until the aligned staging
-        # rewrite lands.
-        from ..ops.replay_dma import replay_tokens_dma
-        out = replay_tokens_dma(kinds, lengths, d,
-                                literals[:max(lit_total, 1)])
-        if out is not None:
-            res = np.asarray(jax.device_get(out))
-            plane.check()
-            return res.tobytes()
-
     out = _replay_gather_array(kinds, lengths, d, is_match, starts,
                                lit_lens, literals, out_len)
     res = np.asarray(jax.device_get(out))
@@ -259,8 +234,9 @@ def replay_device(kinds: np.ndarray, lengths: np.ndarray,
 
 def _replay_gather_array(kinds, lengths, d, is_match, starts, lit_lens,
                          literals, out_len: int):
-    """Sort-merge gather replay -> device uint8 array (the hardware
-    replay path; see replay_device's DMA gating note)."""
+    """Flattened replay -> device uint8 array (ragged-concat kernel on
+    accelerators, sort-merge gather on CPU - ops/replay.
+    replay_flat_tpu picks; pointer doubling when flattening fails)."""
     jax, jnp = _jx()
     from .. import runtime
     from ..ops.replay import expand_tokens, replay_flat_tpu, resolve_bytes
@@ -288,8 +264,7 @@ def _replay_gather_array(kinds, lengths, d, is_match, starts, lit_lens,
 def replay_tokens_device_array(kinds, lengths, dists, lit_dev):
     """Token replay -> device-resident uint8 chunk (or None when a
     match reaches before the chunk).  Hardware path: native flatten +
-    sort-merge gather; the DMA interval-copy kernel is opt-in via
-    LRZ_REPLAY_DMA=1 (Mosaic byte-DMA limitation - replay_device)."""
+    ragged literal-concat kernel (see replay_device)."""
     jax, jnp = _jx()
     lengths = np.asarray(lengths, dtype=np.int64)
     out_len = int(lengths.sum())
@@ -302,5 +277,10 @@ def replay_tokens_device_array(kinds, lengths, dists, lit_dev):
     if bool((d[is_match] > starts[is_match]).any()):
         return None
     lit_lens = np.where(is_match, 0, lengths)
+    lit_total = int(lit_lens.sum())
+    if int(lit_dev.shape[0]) < lit_total:
+        # mirror replay_device's plane-length guard: a short literal
+        # plane would otherwise clamp gathers into silently wrong bytes
+        raise ValueError("literal stream length mismatch")
     return _replay_gather_array(kinds, lengths, d, is_match, starts,
                                 lit_lens, lit_dev, out_len)

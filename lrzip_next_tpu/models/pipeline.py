@@ -76,6 +76,8 @@ class Settings:
     threshold: int = 100
     bemt: bool = True              # backend-internal MT (--nobemt off,
     # the reference's LzFindMt toggle at src/stream.c:456)
+    lzma_mf: int = 0               # 0 = bt4 default; 2..5 = bt2..bt5
+    # (--lzma-mf, the SDK numHashBytes dial, LzFind.c:962-1400)
     passphrase: Optional[bytes] = None  # -e: enables encryption
     enc_code: int = 0              # 1=AES128, 2=AES256 (default 1 w/ pass)
     costfactor_exp: int = 0        # SCRYPT 2^N; 0 = auto
@@ -148,7 +150,8 @@ def _backend_cfg(settings: Settings) -> BackendConfig:
         dict_size=settings.resolved_dict_size(),
         zpaq_level=settings.resolved_zpaq_level(), zpaq_bs=settings.zpaq_bs,
         bzip3_bs=settings.bzip3_bs, zstd_level=zl, zstd_strategy=zs,
-        threads=settings.resolved_threads(), bemt=settings.bemt)
+        threads=settings.resolved_threads(), bemt=settings.bemt,
+        lzma_mf=settings.lzma_mf)
 
 
 # Largest chunk the single-chip matcher keeps resident in HBM (v5e has

@@ -87,8 +87,9 @@ def _flat_shift_right(x: jnp.ndarray, s: int, kc: int) -> jnp.ndarray:
 
 def _excl_cumsum_flat(x: jnp.ndarray, kc: int) -> jnp.ndarray:
     """Exclusive cumsum over row-major linear order of an (8, kc) int32
-    tile: log-shift adds along lanes + a strictly-lower-triangular f32
-    matmul for the cross-row prefix (exact: totals < 2^24)."""
+    tile: log-shift adds along lanes + log-shift sublane adds (concat
+    shifts) for the cross-row prefix - NOT a triangular matmul; see the
+    miscompile note below."""
     inc = x
     s = 1
     while s < kc:

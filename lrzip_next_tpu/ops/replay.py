@@ -260,6 +260,15 @@ def replay_flat_tpu(plan_len: np.ndarray, plan_lit: np.ndarray,
         dst_p[:nsteps] = dst
         return _replay_copy(jnp.asarray(src_p), jnp.asarray(dst_p),
                             literals_dev, out_len)
+    if jax.devices()[0].platform != "cpu":
+        # fragmented plans on real accelerators: the ragged literal-
+        # concat kernel (aligned-window DMA + dynamic roll) replays at
+        # ~us/fragment; the 2x(n+L)-element sort-merge below costs
+        # ~1.2s per 64MB (docs/BENCHMARKS.md) and remains only as the
+        # CPU/test path.
+        from .replay_ragged import replay_pieces_ragged
+        return replay_pieces_ragged(plan_len, plan_lit, literals_dev,
+                                    out_len)
     t = len(starts)
     tb = _bucket_pow2(t)
     st = np.full(tb, 1 << 30, np.int64)  # sentinel: dropped by scatter

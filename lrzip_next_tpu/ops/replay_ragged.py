@@ -1,0 +1,315 @@
+"""Ragged literal-concat replay: rzip decode as one aligned-DMA kernel.
+
+The reference replays tokens byte-serially through the history fd
+(src/runzip.c:129-241).  The native runtime flattens match chains at
+token granularity (runtime/csrc/hostops.cpp flatten_replay), after
+which decode is exactly
+
+    out = lit[p0 : p0+l0] || lit[p1 : p1+l1] || ...
+
+a concatenation of ~1e5 variable-length slices of the (read-only)
+decoded literal plane.  That structure removes every read-after-write
+hazard the interval-copy formulation had (ops/replay_dma, whose
+byte-granular HBM DMAs Mosaic cannot lower): all sources come from one
+immutable buffer, all destinations are disjoint, so fragments execute
+in ANY order with NO fencing.
+
+The kernel avoids byte-granular addressing entirely:
+
+- the literal plane is staged as int32-per-byte rows of 1024
+  (lead/tail padded), so every DMA is a whole-row window at a dynamic
+  8-aligned row offset - Mosaic requires dim-0 tile indices divisible
+  by the (8, 128) tiling (hardware-verified: arbitrary dynamic row
+  starts refuse to compile, 8-aligned ones run);
+- output is produced in 8-row (8192-byte) cells via the regular
+  blocked out_spec (8-row blocks keep dim-0 tile indices aligned);
+- per fragment, the kernel DMAs a 16-row window at the 8-aligned floor
+  of the source row, shifts rows in-register (log row-rotate: 3 static
+  selects), rotates lanes by the byte misalignment with a dynamic lane
+  roll (hardware-verified), and mask-merges the fragment's byte span
+  into the cell accumulator.  One uniform code path: no size classes,
+  no switch, any fragment length from 1 to 8192 bytes.
+
+Fragments are host-planned (numpy, vectorized): pieces are cut at cell
+boundaries so each fragment lands in exactly one cell; per-cell
+fragment ranges ride in scalar-prefetch SMEM; DMAs double-buffer so
+the window fetch of fragment i+1 overlaps the merge of fragment i.
+
+Cost per fragment is ~36KB of DMA + ~70KB of VPU traffic regardless of
+length, so a 64MB chunk with ~1.2e5 fragments replays in tens of ms -
+the role the reference fills with its ASM decoder hot loop
+(ASM/x86/LzmaDecOpt.asm, FEATURES:10 "up to 40% faster").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+CELL = 8192                 # bytes per output cell (8 rows of 1024)
+ROWS = CELL // 1024         # 8
+WIN = ROWS + 1              # source rows a fragment actually needs
+WINDMA = 16                 # DMA window rows (8-aligned start + WIN)
+LEAD_ROWS = ROWS            # literal-plane lead padding (base >= 1)
+TRAIL_ROWS = WINDMA + 1     # window overrun room past the last byte
+_MAX_SMEM_FRAGS = 1 << 15   # per-call cap on prefetch rows (~256KB)
+
+
+def _jx():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+def _bucket_pow2(t: int, lo: int = 256) -> int:
+    b = lo
+    while b < t:
+        b <<= 1
+    return b
+
+
+def merge_contiguous(plan_len: np.ndarray, plan_lit: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge pieces whose literal sources are adjacent (long runs are
+    chopped at 0xFFFF by the token format - format/tokens.
+    split_long_runs, the reference's put_match chunking
+    src/rzip.c:211-225 - and arrive as thousands of adjacent pieces)."""
+    plan_len = np.asarray(plan_len, np.int64)
+    plan_lit = np.asarray(plan_lit, np.int64)
+    if len(plan_len) <= 1:
+        return plan_len, plan_lit
+    keep = np.empty(len(plan_len), bool)
+    keep[0] = True
+    keep[1:] = plan_lit[1:] != plan_lit[:-1] + plan_len[:-1]
+    if keep.all():
+        return plan_len, plan_lit
+    gs = np.nonzero(keep)[0]
+    csum = np.concatenate([[0], np.cumsum(plan_len)])
+    ge = np.concatenate([gs[1:], [len(plan_len)]])
+    return csum[ge] - csum[gs], plan_lit[gs]
+
+
+class RaggedPlan:
+    """Host-side fragment plan for one chunk (possibly several kernel
+    calls when the fragment count exceeds the SMEM prefetch budget)."""
+
+    def __init__(self, out_len: int, lit_len: int, calls):
+        self.out_len = out_len
+        self.lit_len = lit_len
+        self.calls = calls      # list of (cell0, ncells, base, meta, lo)
+        self.n_frags = sum(len(c[2]) for c in calls)
+
+
+def plan_ragged(plan_len: np.ndarray, plan_lit: np.ndarray,
+                out_len: int, lit_len: int) -> RaggedPlan:
+    """Piece plan -> per-cell fragment plan.
+
+    Each piece (dst=cumsum, src=plan_lit, len) is cut at CELL
+    boundaries; a fragment's record is two int32s:
+      base = src - dlo + LEAD_ROWS*1024   (lit byte of the cell's p=0)
+      meta = dlo | (len-1) << 13          (13+13 bits, CELL=8192)
+    plus the per-cell fragment-range array lo (hi_j = lo_{j+1}:
+    fragments are dst-sorted, one cell each).
+    """
+    plan_len, plan_lit = merge_contiguous(plan_len, plan_lit)
+    nz = plan_len > 0
+    if not nz.all():
+        plan_len, plan_lit = plan_len[nz], plan_lit[nz]
+    ends = np.cumsum(plan_len)
+    dst = ends - plan_len
+    # cut at cell boundaries: piece i -> 1 + #interior boundaries frags
+    nf = ((ends - 1) >> 13) - (dst >> 13) + 1
+    total = int(nf.sum())
+    idx = np.repeat(np.arange(len(nf)), nf)
+    k = np.arange(total) - np.repeat(np.cumsum(nf) - nf, nf)
+    cut = ((dst[idx] >> 13) + k) << 13          # cell start of frag k
+    f_dst = np.maximum(dst[idx], cut)
+    f_end = np.minimum(ends[idx], cut + CELL)
+    f_len = f_end - f_dst
+    f_src = plan_lit[idx] + (f_dst - dst[idx])
+    cell = f_dst >> 13
+    dlo = f_dst & (CELL - 1)
+    base = (f_src - dlo + LEAD_ROWS * 1024).astype(np.int32)
+    meta = (dlo | (f_len - 1) << 13).astype(np.int32)
+
+    ncells_total = -(-max(out_len, 1) // CELL)
+    calls = []
+    c0 = 0
+    while c0 < ncells_total:
+        # greedy: longest run of cells whose frags fit the SMEM budget
+        f0 = int(np.searchsorted(cell, c0))
+        fmax = min(f0 + _MAX_SMEM_FRAGS, total)
+        c1 = ncells_total if fmax >= total else int(cell[fmax])
+        if c1 <= c0:      # one cell alone overflows (can't happen:
+            c1 = c0 + 1   # <= 8192 frags/cell < _MAX_SMEM_FRAGS)
+        f1 = int(np.searchsorted(cell, c1))
+        nc = c1 - c0
+        lo = np.searchsorted(cell[f0:f1], np.arange(c0, c1 + 1)
+                             ).astype(np.int32)
+        calls.append((c0, nc, base[f0:f1], meta[f0:f1], lo))
+        c0 = c1
+    return RaggedPlan(out_len, lit_len, calls)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_lit32_fn(n_in: int, rows: int):
+    jax, jnp = _jx()
+
+    @jax.jit
+    def fn(lit_dev):
+        pad = rows * 1024 - n_in
+        flat = lit_dev if pad == 0 else jnp.concatenate(
+            [lit_dev, jnp.zeros((pad,), jnp.uint8)])
+        body = flat.reshape(rows, 1024).astype(jnp.int32)
+        lead = jnp.zeros((LEAD_ROWS, 1024), jnp.int32)
+        trail = jnp.zeros((TRAIL_ROWS, 1024), jnp.int32)
+        return jnp.concatenate([lead, body, trail], axis=0)
+
+    return fn
+
+
+def _stage_lit32(lit_dev, lit_len: int):
+    """uint8 literal plane -> lead/tail-padded (rows, 1024) int32
+    (one fused dispatch: eager op chains pay per-dispatch latency)."""
+    rows = -(-max(lit_len, 1) // 1024)
+    return _stage_lit32_fn(int(lit_dev.shape[0]), rows)(lit_dev)
+
+
+def _make_kernel(nrows_lit: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(lo_ref, base_ref, meta_ref, lit_ref, out_ref,
+               scratch, sems):
+        j = pl.program_id(0)
+        lo = lo_ref[j]
+        hi = lo_ref[j + 1]
+        out_ref[:] = jnp.zeros((ROWS, 1024), jnp.int32)
+
+        def window(i, slot):
+            # Mosaic requires dim-0 DMA starts divisible by the (8,128)
+            # tiling: fetch WINDMA rows from the 8-aligned floor; the
+            # residue rows shift off in-register below
+            r0a = pl.multiple_of((base_ref[i] >> 13) << 3, 8)
+            return pltpu.make_async_copy(
+                lit_ref.at[pl.ds(r0a, WINDMA), :], scratch.at[slot],
+                sems.at[slot])
+
+        @pl.when(lo < hi)
+        def _():
+            window(lo, 0).start()
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1024), 1)
+        pos = col + jax.lax.broadcasted_iota(
+            jnp.int32, (ROWS, 1024), 0) * 1024
+
+        def body(i, _):
+            slot = jax.lax.rem(i - lo, 2)
+
+            @pl.when(i + 1 < hi)
+            def _():
+                window(i + 1, 1 - slot).start()
+
+            window(i, slot).wait()
+            b = base_ref[i]
+            rsub = (b >> 10) & 7
+            roff = b & 1023
+            m = meta_ref[i]
+            dlo = m & (CELL - 1)
+            flen = ((m >> 13) & (CELL - 1)) + 1
+            z = pltpu.roll(scratch[slot], shift=WINDMA - rsub, axis=0)
+            y = pltpu.roll(z[:WIN], shift=1024 - roff, axis=1)
+            g = jnp.where(col < 1024 - roff, y[:ROWS], y[1:WIN])
+            mask = (pos >= dlo) & (pos < dlo + flen)
+            out_ref[:] = jnp.where(mask, g, out_ref[:])
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _ragged_call(ncells: int, nf_b: int, nrows_lit: int,
+                 interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ncells,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((ROWS, 1024), lambda j, *refs: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WINDMA, 1024), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    @jax.jit
+    def call(lo_a, base_a, meta_a, lit32):
+        return pl.pallas_call(
+            _make_kernel(nrows_lit),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ncells * ROWS, 1024),
+                                           jnp.int32),
+            interpret=interpret,
+        )(lo_a, base_a, meta_a, lit32)
+
+    return call
+
+
+def replay_pieces_ragged(plan_len: np.ndarray, plan_lit: np.ndarray,
+                         lit_dev, out_len: int,
+                         interpret: bool = False):
+    """Execute a flattened piece plan against a device-resident uint8
+    literal plane.  Returns the (out_len,) uint8 chunk on device."""
+    jax, jnp = _jx()
+    lit_len = int(lit_dev.shape[0])
+    pl_ = np.asarray(plan_len, np.int64)
+    ps_ = np.asarray(plan_lit, np.int64)
+    if len(pl_) and (int((ps_ + pl_).max()) > lit_len
+                     or int(ps_.min()) < 0):
+        # corrupt plan: sources past the literal plane would replay
+        # pad zeros as silently wrong bytes
+        raise ValueError("literal stream length mismatch")
+    plan = plan_ragged(pl_, ps_, out_len, lit_len)
+    lit32 = _stage_lit32(lit_dev, lit_len)
+    nrows_lit = int(lit32.shape[0])
+    outs = []
+    for c0, nc, base, meta, lo in plan.calls:
+        nf = len(base)
+        nf_b = _bucket_pow2(max(nf, 1))
+        nc_b = _bucket_pow2(max(nc, 1), 64)
+        base_a = np.zeros(nf_b, np.int32)
+        meta_a = np.zeros(nf_b, np.int32)
+        base_a[:nf] = base
+        meta_a[:nf] = meta
+        lo_a = np.full(nc_b + 1, nf, np.int32)
+        lo_a[:len(lo)] = lo
+        call = _ragged_call(nc_b, nf_b, nrows_lit, interpret)
+        out32 = call(jnp.asarray(lo_a), jnp.asarray(base_a),
+                     jnp.asarray(meta_a), lit32)
+        outs.append(out32[:nc * ROWS].astype(jnp.uint8).reshape(-1))
+    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return full[:out_len]
+
+
+def replay_pieces_reference(plan_len: np.ndarray, plan_lit: np.ndarray,
+                            literals: np.ndarray,
+                            out_len: int) -> np.ndarray:
+    """Numpy twin of the kernel for tests / tpu_kernel_check."""
+    plan_len = np.asarray(plan_len, np.int64)
+    plan_lit = np.asarray(plan_lit, np.int64)
+    out = np.zeros(out_len, np.uint8)
+    p = 0
+    for l, s in zip(plan_len, plan_lit):
+        out[p:p + l] = literals[s:s + l]
+        p += l
+    return out

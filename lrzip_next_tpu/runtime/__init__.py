@@ -97,7 +97,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ci = ctypes.c_int
         lib.lzma1_encode.restype = i64
         lib.lzma1_encode.argtypes = [u8p, i64, u8p, i64, ci,
-                                     ctypes.c_uint32, ci, ci, ci, ci]
+                                     ctypes.c_uint32, ci, ci, ci, ci,
+                                     ci]
         lib.lzma1_decode.restype = i64
         lib.lzma1_decode.argtypes = [u8p, i64, u8p, i64, ci, ci, ci]
         lib.rans_encode.restype = i64
@@ -295,11 +296,12 @@ def rzip_encode_host(data: np.ndarray, min_match: int,
 
 def lzma1_encode(data: bytes, level: int = 7, dict_size: int = 1 << 24,
                  lc: int = 3, lp: int = 0, pb: int = 2,
-                 threads: int = 1) -> Optional[bytes]:
+                 threads: int = 1, mf: int = 0) -> Optional[bytes]:
     """From-scratch raw LZMA1 encode (runtime/csrc/lzma.cpp).  Returns
     None when the runtime is unavailable or the stream expands.
-    threads >= 2 pipelines the BT4 match finder on a worker thread
-    (the LzFindMt analog; --nobemt forces 1)."""
+    threads >= 2 pipelines the match finder on a worker thread (the
+    LzFindMt analog; --nobemt forces 1).  mf 2..5 selects the bt2..bt5
+    finder family (--lzma-mf, the SDK's numHashBytes dial); 0 = bt4."""
     lib = _load()
     if lib is None:
         return None
@@ -307,7 +309,7 @@ def lzma1_encode(data: bytes, level: int = 7, dict_size: int = 1 << 24,
     cap = len(data) + len(data) // 4 + 4096
     out = np.empty(cap, dtype=np.uint8)
     ret = lib.lzma1_encode(_u8p(src), len(data), _u8p(out), cap, level,
-                           dict_size, lc, lp, pb, threads)
+                           dict_size, lc, lp, pb, threads, mf)
     if ret < 0:
         return None
     return out[:ret].tobytes()

@@ -1431,17 +1431,21 @@ int64_t encode_opt_t(const U8* in, int64_t n, std::vector<U8>& out,
 
 int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
                    int level, U32 dict_size, int lc, int lp, int pb,
-                   int threads) {
+                   int threads, int mf) {
     const int nice = level < 7 ? 32 : 64;     // fb (src/stream.c:455)
     const int cycles = (16 + nice / 2) * (level >= 9 ? 2 : 1);
     // match-finder family selector (the SDK's bt2/bt3/bt4/bt5
     // numHashBytes dial, LzFind.c:962-1400); bt4 is the default as in
-    // the reference's stream.c lzma setup
-    int nhb = 4;
-    if (const char* mf = std::getenv("LRZ_LZMA_MF")) {
-        if (mf[0] == 'b' && mf[1] == 't' && mf[2] >= '2' && mf[2] <= '5'
-            && mf[3] == 0)
-            nhb = mf[2] - '0';
+    // the reference's stream.c lzma setup.  mf 2..5 selects
+    // explicitly (--lzma-mf); 0 = default with the LRZ_LZMA_MF env
+    // var kept as a debug override.
+    int nhb = (mf >= 2 && mf <= 5) ? mf : 4;
+    if (mf == 0) {
+        if (const char* e = std::getenv("LRZ_LZMA_MF")) {
+            if (e[0] == 'b' && e[1] == 't' && e[2] >= '2' && e[2] <= '5'
+                && e[3] == 0)
+                nhb = e[2] - '0';
+        }
     }
     if (threads >= 2 && n > (1 << 16)) {
         AheadSource src(in, n, dict_size, cycles, nice, nhb);
@@ -1452,10 +1456,11 @@ int64_t encode_opt(const U8* in, int64_t n, std::vector<U8>& out,
 }
 
 int64_t encode(const U8* in, int64_t n, std::vector<U8>& out, int level,
-               U32 dict_size, int lc, int lp, int pb, int threads) {
+               U32 dict_size, int lc, int lp, int pb, int threads,
+               int mf_sel = 0) {
     if (level >= 5)  // normal mode: BT4 + optimal parse (SDK algo=1)
         return encode_opt(in, n, out, level, dict_size, lc, lp, pb,
-                          threads);
+                          threads, mf_sel);
     Probs P;
     P.init(lc, lp);
     RangeEnc rc(out);
@@ -1616,15 +1621,18 @@ extern "C" {
 // exceed cap.  threads >= 2 enables the pipelined match finder (the
 // LzFindMt analog, reference src/lzma/C/LzFindMt.c via numThreads at
 // src/stream.c:456; --nobemt passes 1).
+// mf: 0 = default (bt4; LRZ_LZMA_MF env debug override), 2..5 = btN
+// (the SDK's numHashBytes dial, LzFind.c MatchFinder_CreateVTable).
 int64_t lzma1_encode(const uint8_t* in, int64_t n, uint8_t* out,
                      int64_t cap, int level, uint32_t dict_size,
-                     int lc, int lp, int pb, int threads) {
+                     int lc, int lp, int pb, int threads, int mf) {
     if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
         return -1;
+    if (mf != 0 && (mf < 2 || mf > 5)) return -1;
     std::vector<uint8_t> buf;
     buf.reserve((size_t)(n / 2 + 256));
     int64_t r = tlz::encode(in, n, buf, level, dict_size, lc, lp, pb,
-                            threads);
+                            threads, mf);
     if (r < 0 || r > cap) return -1;
     std::memcpy(out, buf.data(), (size_t)r);
     return r;

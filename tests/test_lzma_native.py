@@ -183,3 +183,30 @@ def test_bt_finder_family(corpus_factory, monkeypatch):
     monkeypatch.setenv("LRZ_LZMA_MF", "bt4")
     again = runtime.lzma1_encode(data, level=7)
     assert again == base
+
+
+def test_lzma_mf_surface(corpus_factory, monkeypatch):
+    """--lzma-mf plumbing: the explicit mf parameter selects the
+    finder (Settings.lzma_mf -> BackendConfig -> lzma1_encode), beats
+    the env var, and archives round-trip + liblzma-decode for every
+    family."""
+    monkeypatch.delenv("LRZ_LZMA_MF", raising=False)
+    data = corpus_factory(150_000, "mixed")
+    outs = {}
+    for mf in (2, 3, 4, 5):
+        ours = runtime.lzma1_encode(data, level=7, mf=mf)
+        assert runtime.lzma1_decode(ours, len(data)) == data, mf
+        assert _lib_dec(ours, len(data)) == data, mf
+        outs[mf] = ours
+    # the explicit parameter wins over the env var
+    monkeypatch.setenv("LRZ_LZMA_MF", "bt2")
+    assert runtime.lzma1_encode(data, level=7, mf=5) == outs[5]
+    # mf=0 honors the env debug override
+    assert runtime.lzma1_encode(data, level=7) == outs[2]
+    monkeypatch.delenv("LRZ_LZMA_MF", raising=False)
+    # full archive path through Settings
+    import lrzip_next_tpu as lrz
+    for mf_code in (2, 5):
+        s = lrz.Settings(method="lzma", lzma_mf=mf_code)
+        arch = lrz.compress(data, s)
+        assert lrz.decompress(arch) == data

@@ -153,28 +153,22 @@ if MODE != "--encode-only":
     plane, ddt1 = stage("rans decode scan (sync)", rans_dec)
     print(f"plan pieces: {len(flat[0])}", flush=True)
 
-    from lrzip_next_tpu.ops.replay_dma import plan_replay, \
-        replay_plan_device
+    from lrzip_next_tpu.ops.replay_ragged import (plan_ragged,
+                                                  replay_pieces_ragged)
 
     def plan_only():
-        return plan_replay(k2, l2, d2)
+        return plan_ragged(flat[0], flat[1], N, n_lit)
 
-    plan, ddt2a = stage("replay plan (host)", plan_only)
-    print(f"plan: {plan.n_tiles} tiles, {plan.n_steps} steps, "
-          f"{len(plan.tiny_q)} tiny", flush=True)
+    plan, ddt2a = stage("ragged plan (host)", plan_only)
+    print(f"plan: {plan.n_frags} frags, {len(plan.calls)} calls",
+          flush=True)
     lit_plane = plane[:max(n_lit, 1)]
 
-    def replay_dma():
-        out = replay_plan_device(plan, lit_plane)
+    def replay_ragged():
+        out = replay_pieces_ragged(flat[0], flat[1], lit_plane, N)
         return int(out[0])
 
-    _, ddt2b = stage("replay (DMA kernel)", replay_dma)
-    tot = ddt1 + ddt2a + ddt2b
+    _, ddt2b = stage("replay (ragged-concat kernel)", replay_ragged)
+    tot = ddt1 + ddt2b
     print(f"decode total {tot*1e3:.0f}ms -> {N/1e6/tot:.0f} MB/s",
           flush=True)
-
-    def replay():
-        out = replay_flat_tpu(flat[0], flat[1], plane, N)
-        return int(out[0])
-
-    _, ddt2 = stage("replay (flat sort-gather, old)", replay)

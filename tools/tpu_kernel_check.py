@@ -78,10 +78,42 @@ spx = jnp.concatenate([pk_x.astype(jnp.int32), jnp.zeros((max(pad,0),), jnp.int3
 syms_x, xf_x = _decode_scan(spx, st_x, freqs, jnp.int32(n), 6, t_len)
 ok_x = bool((np.asarray(syms_x).T.reshape(-1)[:n] == data).all())
 print(f"[{'ok' if ok_x else 'DIFF'}] XLA decode roundtrip; xf==L: {bool((np.asarray(xf_x)==rans.L).all())}", flush=True)
+if not ok_x:
+    # the XLA twin is the ground truth every Pallas-vs-XLA eq leans
+    # on; if it regresses, wrong-but-equal pairs must still fail
+    FAILED.append("xla decode roundtrip")
 
 # 5. Pallas decode on the same stream
 from lrzip_next_tpu.ops.rans_decode_pallas import decode_scan_fused
 syms_p, xf_p = decode_scan_fused(pk_x.astype(jnp.int32), st_x, freqs, jnp.int32(n), 6, t_len)
 eq("pallas decode syms", syms_p, np.asarray(syms_x))
 eq("pallas decode xf", xf_p, xf_x)
+
+# 6. ragged literal-concat replay kernel vs its numpy twin, on plans
+# stressing every rotation path (tiny pieces, cell-crossers, all
+# misalignments) at real size
+from lrzip_next_tpu.ops import replay_ragged as rr
+rng = np.random.default_rng(0xA11C)
+lit_len = n
+out_len = n + (n >> 2)
+lens = []
+left = out_len
+while left > 0:
+    r = rng.random()
+    if r < 0.3:
+        l = int(rng.integers(1, 16))
+    elif r < 0.8:
+        l = int(rng.integers(16, 1500))
+    else:
+        l = int(rng.integers(1500, 30000))
+    l = min(l, left)
+    lens.append(l)
+    left -= l
+lens = np.asarray(lens, np.int64)
+srcs = np.asarray([rng.integers(0, lit_len - l + 1) for l in lens], np.int64)
+print(f"ragged plan: {len(lens)} pieces, out {out_len}", flush=True)
+want = rr.replay_pieces_reference(lens, srcs, data, out_len)
+got = np.asarray(jax.device_get(
+    rr.replay_pieces_ragged(lens, srcs, dev, out_len)))
+eq("ragged replay", got, want)
 sys.exit(1 if FAILED else 0)
