@@ -293,8 +293,22 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
     return start, is_end
 
 
+# Same-distance seeds within this many bytes merge into one chain.
+# Large on purpose: the host greedy RESYNCS across unmatched stretches
+# inside a chain (exact byte re-verification at the chain's distance -
+# greedy_cover's scan loop), so a gappy chain loses nothing, while a
+# whole duplicated segment ships as ONE record instead of one per
+# local-repeat interruption (456K -> ~10K records on the 64MB bench
+# corpus, and the coverage prune below needs the long spans to bite).
+_CHAIN_GAP = 16384
+# Chains this long (certified span bytes) count as coverage for the
+# prune: shorter chains wholly under the running covered frontier are
+# dropped before the host transfer.
+_PRUNE_MIN_SPAN = 256
+
+
 def _dist_sorted_seed_starts(pos, cand, ok, limit, stride):
-    """Chain-start mask over seeds sorted by (dist, pos).
+    """Chain start/end masks over seeds sorted by (dist, pos).
 
     Position-adjacent chaining (_anchor_chain_masks) shatters the long
     chains of a far repeat whenever local-match seeds interleave (each
@@ -305,8 +319,8 @@ def _dist_sorted_seed_starts(pos, cand, ok, limit, stride):
     strictly merging MORE than the adjacency rule (any adjacent pair
     with equal dist and small gap is also adjacent within its dist
     group), so the host greedy sees a superset of the old hints in
-    fewer, longer runs.  Returns (start_mask, spos, sdist) in
-    dist-sorted order.
+    fewer, longer runs.  Returns (start_mask, end_mask, spos, sdist)
+    in dist-sorted order.
     """
     valid = ok & (pos < limit) & (cand >= 0) & (cand < limit)
     dist = jnp.where(valid, pos - cand, _I32_BIG)
@@ -315,44 +329,79 @@ def _dist_sorted_seed_starts(pos, cand, ok, limit, stride):
     cont = jnp.concatenate([
         jnp.zeros((1,), bool),
         sv[1:] & sv[:-1] & (sd[1:] == sd[:-1])
-        & (sp[1:] - sp[:-1] <= 4 * stride)])
+        & (sp[1:] - sp[:-1] <= _CHAIN_GAP)])
     start = sv & ~cont
-    return start, sp, sd
+    is_end = sv & jnp.concatenate([~cont[1:], jnp.ones((1,), bool)])
+    return start, is_end, sp, sd
+
+
+def _prune_and_order(starts_c, dists_c, ends_c, n_raw, cap: int):
+    """Position-order chains, drop records wholly under the covered
+    frontier, recompact.  A chain with span >= _PRUNE_MIN_SPAN extends
+    the running covered frontier to its certified end (end + HASH_W-1);
+    any later chain ending at or before that frontier can only certify
+    redundancy the greedy walk will already have passed - dropping it
+    costs nothing when the cover holds and at most a short match when
+    a fingerprint collision breaks it.  Returns (starts, ends, dists,
+    n_kept) in position order, kept records first."""
+    idx = jax.lax.iota(jnp.int32, cap)
+    starts_m = jnp.where(idx < n_raw, starts_c, _I32_BIG)
+    ps, ds, pe = jax.lax.sort((starts_m, dists_c, ends_c), num_keys=1)
+    live = idx < n_raw
+    cert_end = pe + (HASH_W - 1)
+    span = pe - ps
+    cover = jnp.where(live & (span >= _PRUNE_MIN_SPAN), cert_end, 0)
+    frontier = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jax.lax.cummax(cover)[:-1]])
+    # multi-seed chains (span > 0) always ship: a covered local chain
+    # can still certify matches the covering chain's distance cannot
+    # (measured: dropping them cost ~3% of matched bytes; dropping
+    # only covered SINGLE-seed chains costs ~1% for ~2.4x fewer
+    # records)
+    keep = live & ((cert_end > frontier) | (span > 0))
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    key = jnp.where(keep, ps, _I32_BIG)
+    ps2, ds2, pe2 = jax.lax.sort((key, ds, pe), num_keys=1)
+    return (ps2, pe2, ds2), (ps, pe, ds), n_keep
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
 def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
     """XLA fallback seed compaction (CPU meshes and tests).
 
-    Only chain *starts* are compacted (ends = starts, run length 1):
-    the host greedy re-derives every span with exact byte verification
-    and right-extension, so end positions carry no information.
-    Chain detection runs in (dist, pos) order - see
-    _dist_sorted_seed_starts - then results return to pos order."""
-    start, sp, sd = _dist_sorted_seed_starts(pos, cand, ok, limit,
-                                             stride)
+    Chain starts AND ends are compacted (the greedy's resync walk
+    consumes the certified span); detection runs in (dist, pos) order
+    - see _dist_sorted_seed_starts - then _prune_and_order drops
+    covered records and returns position order."""
+    start, is_end, sp, sd = _dist_sorted_seed_starts(pos, cand, ok,
+                                                     limit, stride)
+    n_raw = jnp.sum(start.astype(jnp.int32))
+    # compact in INPUT (dist-sorted) order - sorting by position value
+    # would break the i-th-start <-> i-th-end pairing for chains nested
+    # across distances
     kk = pos.shape[0]
-    n_runs = jnp.sum(start.astype(jnp.int32))
-    spm = jnp.where(start, sp, _I32_BIG)
-    ps, ds = jax.lax.sort((spm, sd), num_keys=1)
-    idx = jax.lax.iota(jnp.int32, kk)[:cap]
-    return ps[:cap], ps[:cap], \
-        jnp.where(idx < n_runs, ps[:cap] - ds[:cap], -1), n_runs
+    idxk = jax.lax.iota(jnp.int32, kk)
+    _, ps_c, ds_c = jax.lax.sort(
+        (jnp.where(start, idxk, _I32_BIG), sp, sd), num_keys=1)
+    _, pe_c = jax.lax.sort(
+        (jnp.where(is_end, idxk, _I32_BIG), sp), num_keys=1)
+    pruned, full, n_keep = _prune_and_order(
+        ps_c[:cap], ds_c[:cap], pe_c[:cap], n_raw, cap)
+    return pruned, full, n_keep, n_raw
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
 def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int):
     from .compact_pallas import compact_starts_pallas
-    start, sp, sd = _dist_sorted_seed_starts(pos, cand, ok, limit,
-                                             stride)
-    starts, dists_c, n_runs = compact_starts_pallas(start, sp, sd, cap)
-    # back to position order (the greedy walks a frontier; the delta
-    # packing in _pack_seeds also wants ascending starts).  Mask the
-    # compaction's garbage tail past n_runs before sorting.
-    idx = jax.lax.iota(jnp.int32, cap)
-    starts_m = jnp.where(idx < n_runs, starts, _I32_BIG)
-    ps, ds = jax.lax.sort((starts_m, dists_c), num_keys=1)
-    return ps, ps, jnp.where(idx < n_runs, ps - ds, -1), n_runs
+    start, is_end, sp, sd = _dist_sorted_seed_starts(pos, cand, ok,
+                                                     limit, stride)
+    starts_c, dists_c, n_raw = compact_starts_pallas(start, sp, sd, cap)
+    # ends compact 1:1 with starts (chains are contiguous segments in
+    # dist order, so the i-th end mask element closes the i-th start)
+    ends_c, _, _ = compact_starts_pallas(is_end, sp, sd, cap)
+    pruned, full, n_keep = _prune_and_order(starts_c, dists_c, ends_c,
+                                            n_raw, cap)
+    return pruned, full, n_keep, n_raw
 
 
 def _seed_compact_impl():
@@ -444,6 +493,36 @@ def _bucket_cap(k: int, hi: int) -> int:
     return min(c, hi)
 
 
+# last observed run count per (bucketed chunk size, stride): chunks of
+# one stream have similar seed density, so the next job sizes its
+# compaction cap to skip the overflow redo
+_CAP_HINTS: dict = {}
+
+# refetch the full (unpruned) chain set when the pruned walk reports
+# more than n/_HOLE_REFETCH_FRACTION unmatched bytes inside certified
+# spans: the prune dropped records the covering chains cannot
+# re-certify (decision is per-chunk and content-deterministic, so mesh
+# and single-device runs stay byte-identical)
+_HOLE_REFETCH_FRACTION = 256
+
+
+def _adaptive_greedy(rs, rl, src, n, data, k, raw, fetch_full,
+                     cap: int):
+    """Greedy over the pruned records; refetch the full set and redo
+    when hole bytes say the prune cost real matches."""
+    holes: list = []
+    tokens = greedy_cover_from_runs(rs, rl, src, n, data=data,
+                                    hole_out=holes)
+    if (k < raw and holes
+            and holes[0] > max(4096, n // _HOLE_REFETCH_FRACTION)):
+        fc = min(_bucket_cap(raw, cap), cap)
+        k2, _, rs2, re2, src2 = fetch_full(fc)
+        k2 = min(k2, fc)
+        tokens = greedy_cover_from_runs(
+            rs2[:k2], (re2 - rs2)[:k2] + 1, src2[:k2], n, data=data)
+    return tokens
+
+
 def _fetch_compacted(starts, ends, srcs, k: int):
     """One static-shape transfer of the capped arrays, sliced on host.
 
@@ -456,21 +535,40 @@ def _fetch_compacted(starts, ends, srcs, k: int):
             tri[2, :k].astype(np.int64))
 
 
-@jax.jit
-def _pack_seeds(starts, srcs):
-    """Delta-encode seeds on device before the host transfer: start
-    deltas and distances are small-valued ints whose high bytes are
-    mostly zero, which the axon tunnel's wire compression shrinks 2-4x
-    (raw positions are incompressible).  Also skips the `ends` column -
-    the anchor path's ends equal its starts."""
-    d0 = jnp.concatenate([starts[:1], jnp.diff(starts)])
-    return jnp.stack([d0, starts - srcs])
+@functools.partial(jax.jit, static_argnames=("fetch_cap",))
+def _pack_seeds(starts, ends, dists, n_keep, n_raw, fetch_cap: int):
+    """Delta-encode chain records on device before the host transfer:
+    start deltas, distances and spans are small-valued ints whose high
+    bytes are mostly zero, which the axon tunnel's wire compression
+    shrinks 2-4x (raw positions are incompressible).  Both counts ride
+    as elements 0-1 so counts + records arrive in ONE readback (a
+    separate int(n_runs) sync costs a full tunnel RTT per chunk).
+    Only the first fetch_cap records travel; the caller refetches at a
+    bigger bucket when n_keep overflows (no device recompute)."""
+    live = jax.lax.iota(jnp.int32, fetch_cap) < n_keep
+    s = jnp.where(live, starts[:fetch_cap], 0)
+    e = jnp.where(live, ends[:fetch_cap], 0)
+    d = jnp.where(live, dists[:fetch_cap], 0)
+    d0 = jnp.concatenate([s[:1], jnp.diff(s)])
+    return jnp.concatenate([
+        jnp.reshape(n_keep, (1,)).astype(jnp.int32),
+        jnp.reshape(n_raw, (1,)).astype(jnp.int32),
+        d0, d, e - s])
 
 
-def _fetch_seeds(starts, srcs, k: int):
-    pair = np.asarray(jax.device_get(_pack_seeds(starts, srcs)))
-    s = np.cumsum(pair[0, :k].astype(np.int64))
-    return s, s - pair[1, :k].astype(np.int64)
+def _fetch_seeds_counted(starts, ends, dists, n_keep, n_raw,
+                         fetch_cap: int):
+    """One-transfer fetch -> (n_keep, n_raw, starts, ends, srcs)."""
+    fc = fetch_cap
+    flat = np.asarray(jax.device_get(
+        _pack_seeds(starts, ends, dists, n_keep, n_raw, fc)))
+    k = int(flat[0])
+    raw = int(flat[1])
+    kk = min(k, fc)
+    s = np.cumsum(flat[2:2 + kk].astype(np.int64))
+    dist = flat[2 + fc:2 + fc + kk].astype(np.int64)
+    span = flat[2 + 2 * fc:2 + 2 * fc + kk].astype(np.int64)
+    return k, raw, s, s + span, s - dist
 
 
 def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
@@ -496,56 +594,88 @@ def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
 
 def greedy_cover_from_runs(run_start: np.ndarray, run_len: np.ndarray,
                            run_src: np.ndarray, n: int, w: int = HASH_W,
-                           data: np.ndarray | None = None
+                           data: np.ndarray | None = None,
+                           hole_out: list | None = None
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy left-to-right token cover from verified chain runs.
 
-    Each run (s, r, src) certifies data[s : s+r+w-1] == data[src : ...].
-    The frontier walk emits a match at max(s, frontier) when the run
-    still has >= w bytes beyond that point; when ``data`` is given the
-    native path also extends matches bidirectionally with exact byte
-    compares.  O(#runs + extension bytes); runs in the native runtime
-    when available, Python fallback below.
+    Each run (s, r, src) certifies same-distance seed windows across
+    data[s : s+r+w-1].  The frontier walk emits byte-verified matches
+    within each chain's certified span, RESYNCING across gaps (chains
+    merge same-distance seeds up to _CHAIN_GAP apart, so a chain may
+    contain unmatched stretches; after a mismatch the walk scans for
+    the next w-byte agreement at the same distance).  Matches extend
+    bidirectionally past the certification with exact byte compares.
+    O(#runs + scanned bytes); runs in the native runtime when
+    available, numpy fallback below.
     """
     from .. import runtime
     if runtime.available():
         res = runtime.greedy_cover(run_start, run_len, run_src, n, w,
-                                   data=data)
+                                   data=data, hole_out=hole_out)
         if res is not None:
             return res
     kinds, lengths, dists = [], [], []
     f = 0  # emission frontier
+    holes = 0  # unmatched bytes inside certified spans (adaptive-prune
+    # trigger; approximate in this fallback - the native walk's scan
+    # accounting is the production signal)
     dist_arr = run_start - run_src
+
+    def emit(kind, length, dist):
+        kinds.append(kind)
+        lengths.append(length)
+        dists.append(dist)
+
     for i in range(len(run_start)):
         s = int(run_start[i])
-        span_end = int(run_start[i] + run_len[i] + w - 1)
-        start_at = s if s >= f else f
+        cert_end = min(int(run_start[i] + run_len[i] + w - 1), n)
+        if cert_end <= f or f >= n:
+            continue
         d = int(dist_arr[i])
-        if d < 1 or start_at - d < 0 or span_end <= f:
+        start_at = s if s >= f else f
+        if d < 1 or start_at - d < 0:
             continue
-        if data is not None:
-            # exact byte verification (collision kill) + right extension
-            from ..models.rzip_host import extend_one
-            ml = extend_one(data, start_at - d, start_at)
-            if ml < w:
+        if data is None:
+            if cert_end - start_at < w:
                 continue
-            span_end = start_at + ml
-        if span_end - start_at < w:
+            if start_at > f:
+                emit(0, start_at - f, 0)
+            emit(1, cert_end - start_at, d)
+            f = cert_end
             continue
-        if start_at > f:
-            kinds.append(0)
-            lengths.append(start_at - f)
-            dists.append(0)
-        kinds.append(1)
-        lengths.append(span_end - start_at)
-        dists.append(d)
-        f = span_end
-        if f >= n:
-            break
+        scan_lim = cert_end - w
+        eq = np.asarray(data[start_at:cert_end]
+                        == data[start_at - d:cert_end - d])
+        holes += int((~eq).sum())
+        edges = np.flatnonzero(np.diff(np.concatenate(
+            [[0], eq.astype(np.int8), [0]])))
+        for rs_, re_ in zip(edges[::2], edges[1::2]):
+            abs_s = start_at + int(rs_)
+            abs_e = start_at + int(re_)
+            if abs_s > scan_lim:
+                break
+            if abs_s < f:
+                abs_s = f
+            if abs_e == cert_end:  # run touches the edge: extend right
+                while abs_e < n and data[abs_e] == data[abs_e - d]:
+                    abs_e += 1
+            # extend left over the literal gap
+            while abs_s > f and abs_s - d > 0 and \
+                    data[abs_s - 1] == data[abs_s - 1 - d]:
+                abs_s -= 1
+            if abs_e - abs_s < w:
+                continue
+            if abs_s > f:
+                emit(0, abs_s - f, 0)
+            emit(1, abs_e - abs_s, d)
+            f = abs_e
+            if f >= n:
+                break
     if f < n:
-        kinds.append(0)
-        lengths.append(n - f)
-        dists.append(0)
+        emit(0, n - f, 0)
+    if hole_out is not None:
+        hole_out.append(holes)
     return (np.array(kinds, dtype=np.uint8),
             np.array(lengths, dtype=np.int64),
             np.array(dists, dtype=np.int64))
@@ -604,8 +734,17 @@ class TpuMatchJob:
             # the compaction merge gathers cap elements (~41ns each on
             # TPU), so a tight cap matters; overflow redoes at the next
             # bucketed cap (never the full k - that compiles a huge
-            # merge and ships megabytes through the tunnel)
+            # merge and ships megabytes through the tunnel).  A cap
+            # hint from the previous same-shaped chunk avoids paying
+            # that redo (an extra compaction pass + sync) every chunk
+            # on seed-dense corpora.
             self.cap = max(min(k, 4096), k // 64)
+            hint = _CAP_HINTS.get((nb, stride))
+            if hint is not None and hint[0] > self.cap:
+                self.cap = min(_bucket_cap(hint[0], k), k)
+            self.fetch_cap = min(
+                _bucket_cap(hint[1], k) if hint is not None else 8192,
+                self.cap)
             pos, cand, ok = anchor_candidates_unordered(dev, stride)
             self.compacted = _seed_compact_impl()(
                 pos, cand, ok, jnp.int32(self.limit), self.cap, stride)
@@ -632,23 +771,43 @@ class TpuMatchJob:
             return (np.array([0], np.uint8),
                     np.array([self.n], np.int64),
                     np.array([0], np.int64))
-        starts, ends, srcs, n_runs = self.compacted
-        k = int(n_runs)
-        if k > self.cap:  # overflow: redo at a bigger bucketed cap
-            starts, ends, srcs, n_runs = self.redo(k)
-            k = int(n_runs)
-        if k == 0:
-            rs = rl = src = np.zeros(0, np.int64)
-        elif self.stride > 1:
-            # anchor path: ends == starts (runs re-derived by the host
-            # greedy), so ship only delta-packed (starts, dists)
-            rs, src = _fetch_seeds(starts, srcs, k)
-            rl = np.ones(k, np.int64)
-        else:
-            rs, re, src = _fetch_compacted(starts, ends, srcs, k)
+        if self.stride > 1:
+            # anchor path: pruned chain records (start, end, dist)
+            # delta-packed; both counts + records in one readback
+            pruned, full, n_keep, n_raw = self.compacted
+            k, raw, rs, re, src = _fetch_seeds_counted(
+                *pruned, n_keep, n_raw, self.fetch_cap)
+            if raw > self.cap:  # chain overflow: redo at a bigger cap
+                pruned, full, n_keep, n_raw = self.redo(raw)
+                self.cap = int(pruned[0].shape[0])
+                self.fetch_cap = self.cap
+                k, raw, rs, re, src = _fetch_seeds_counted(
+                    *pruned, n_keep, n_raw, self.fetch_cap)
+            elif k > self.fetch_cap:  # kept > fetch window: refetch
+                self.fetch_cap = min(_bucket_cap(k, self.cap), self.cap)
+                k, raw, rs, re, src = _fetch_seeds_counted(
+                    *pruned, n_keep, n_raw, self.fetch_cap)
+            k = min(k, self.fetch_cap)
+            _CAP_HINTS[(_bucket_size(self.n), self.stride)] = (raw, k)
+            rs, re, src = rs[:k], re[:k], src[:k]
             rl = re - rs + 1
-        kinds, lengths, dists = greedy_cover_from_runs(
-            rs, rl, src, self.n, data=self.data)
+            kinds, lengths, dists = _adaptive_greedy(
+                rs, rl, src, self.n, self.data, k, raw,
+                lambda fc: _fetch_seeds_counted(
+                    *full, n_raw, n_raw, fc), self.cap)
+        else:
+            starts, ends, srcs, n_runs = self.compacted
+            k = int(n_runs)
+            if k > self.cap:  # overflow: redo at a bigger bucketed cap
+                starts, ends, srcs, n_runs = self.redo(k)
+                k = int(n_runs)
+            if k:
+                rs, re, src = _fetch_compacted(starts, ends, srcs, k)
+                rl = re - rs + 1
+            else:
+                rs = rl = src = np.zeros(0, np.int64)
+            kinds, lengths, dists = greedy_cover_from_runs(
+                rs, rl, src, self.n, data=self.data)
         m = kinds == 1
         # hash-search counter parity (reference st->stats,
         # src/rzip.c:1238-1246 printed at max verbosity)

@@ -59,7 +59,8 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.greedy_cover.restype = i64
         lib.greedy_cover.argtypes = [i64p, i64p, i64p, i64, i64, i64,
-                                     ctypes.c_void_p, u8p, i64p, i64p]
+                                     ctypes.c_void_p, u8p, i64p, i64p,
+                                     i64, i64p]
         lib.replay_tokens.restype = i64
         lib.replay_tokens.argtypes = [u8p, i64p, i64p, i64, u8p, i64,
                                       u8p, i64, u8p, i64]
@@ -123,13 +124,20 @@ def _i64p(a: np.ndarray):
 
 def greedy_cover(run_start: np.ndarray, run_len: np.ndarray,
                  run_src: np.ndarray, n: int, min_match: int,
-                 data: Optional[np.ndarray] = None
+                 data: Optional[np.ndarray] = None,
+                 hole_out: Optional[list] = None
                  ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Native frontier walk (csrc/hostops.cpp greedy_cover).  When
+    ``hole_out`` is a list, appends the walk's hole-byte count
+    (scanned-but-unmatched bytes inside certified spans - the signal
+    the adaptive chain prune uses to refetch the full record set)."""
     lib = _load()
     if lib is None:
         return None
     nr = len(run_start)
-    cap = 2 * nr + 2
+    # emitted matches are disjoint >= min_match spans, so tokens are
+    # bounded by 2*(n/min_match) + 2*nr + 4 even with gap resync
+    cap = 2 * (n // max(min_match, 1)) + 2 * nr + 4
     run_start = np.ascontiguousarray(run_start, dtype=np.int64)
     run_len = np.ascontiguousarray(run_len, dtype=np.int64)
     run_src = np.ascontiguousarray(run_src, dtype=np.int64)
@@ -140,9 +148,14 @@ def greedy_cover(run_start: np.ndarray, run_len: np.ndarray,
     if data is not None:
         data = np.ascontiguousarray(data, dtype=np.uint8)
         dptr = data.ctypes.data_as(ctypes.c_void_p)
+    holes = np.zeros(1, dtype=np.int64)
     t = lib.greedy_cover(_i64p(run_start), _i64p(run_len), _i64p(run_src),
                          nr, n, min_match, dptr, _u8p(ok), _i64p(ol),
-                         _i64p(od))
+                         _i64p(od), cap, _i64p(holes))
+    if t < 0:
+        return None
+    if hole_out is not None:
+        hole_out.append(int(holes[0]))
     return ok[:t].copy(), ol[:t].copy(), od[:t].copy()
 
 

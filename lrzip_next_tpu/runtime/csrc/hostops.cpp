@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <queue>
 #include <vector>
 
 extern "C" {
@@ -25,61 +26,167 @@ extern "C" {
 // --------------------------------------------------------------- greedy
 
 // Walk verified chain runs left to right, emitting (kind, len, dist)
-// tokens. Returns number of tokens written. Output arrays must have
-// capacity >= 2 * n_runs + 2.
+// tokens. Returns number of tokens written, or -1 when `cap` would
+// overflow (callers size cap at 2*(n/min_match) + 2*n_runs + 4, which
+// cannot overflow: emitted matches are >= min_match disjoint bytes).
 //
 // Each run (s, r, src) comes from fingerprint-equal window chains
-// (lrzip_next_tpu/ops/matcher.py). When `data` is provided this walk is
-// also the exact verifier: emitted spans are re-derived with byte
-// compares (extending left into the literal gap and right past the
-// chain break - the reference extends both ways too,
+// (lrzip_next_tpu/ops/matcher.py): it certifies same-distance seed
+// windows across [s, s + r + min_match).  When `data` is provided this
+// walk is also the exact verifier: emitted spans are re-derived with
+// byte compares (extending left into the literal gap and right past
+// the chain break - the reference extends both ways too,
 // src/rzip.c:431-534), so a fingerprint collision can only shrink or
-// drop a match, never corrupt the output.
+// drop a match, never corrupt the output.  Chains may be GAPPY (seed
+// merging tolerates unmatched stretches between same-distance seeds,
+// matcher._CHAIN_GAP): after a mismatch ends a match, the walk
+// RESYNCS by scanning forward for the next min_match-byte agreement at
+// the same distance, up to the chain's certified end - the role the
+// reference's per-position hash probes play across a long repeat
+// (src/rzip.c:586-762).  Scanning is bounded by a global budget so
+// degenerate chain sets stay O(n).
 int64_t greedy_cover(const int64_t* run_start, const int64_t* run_len,
                      const int64_t* run_src, int64_t n_runs, int64_t n,
                      int64_t min_match, const uint8_t* data,
                      uint8_t* out_kind, int64_t* out_len,
-                     int64_t* out_dist) {
+                     int64_t* out_dist, int64_t cap,
+                     int64_t* out_hole_bytes) {
     int64_t f = 0;  // emission frontier
     int64_t t = 0;
-    for (int64_t i = 0; i < n_runs; i++) {
-        int64_t s = run_start[i];
-        int64_t span_end = s + run_len[i] + min_match - 1;
-        if (span_end <= f) continue;
-        int64_t dist = run_start[i] - run_src[i];
-        int64_t start_at = s > f ? s : f;
-        if (dist < 1 || start_at - dist < 0) continue;
-        if (data != nullptr) {
-            // exact verification from start_at: find true match length
-            int64_t v = start_at;
-            while (v < n && data[v] == data[v - dist]) v++;
-            if (v - start_at < min_match) continue;
-            span_end = v;
-            // extend left over the literal gap (source must stay >= 0)
-            while (start_at > f && start_at - dist > 0 &&
-                   data[start_at - 1] == data[start_at - 1 - dist])
-                start_at--;
-        }
-        if (span_end - start_at < min_match) continue;
-        if (start_at > f) {
-            out_kind[t] = 0;
-            out_len[t] = start_at - f;
-            out_dist[t] = 0;
-            t++;
-        }
-        out_kind[t] = 1;
-        out_len[t] = span_end - start_at;
+    int64_t hole_bytes = 0;
+    int64_t scan_budget = 16 * n + (1 << 20);
+
+    auto emit = [&](int64_t kind, int64_t len, int64_t dist) -> bool {
+        if (t + 1 > cap) return false;
+        out_kind[t] = (uint8_t)kind;
+        out_len[t] = len;
         out_dist[t] = dist;
         t++;
-        f = span_end;
-        if (f >= n) break;
+        return true;
+    };
+
+    if (data == nullptr) {
+        // unverified mode (tests): trust each certified span once
+        for (int64_t i = 0; i < n_runs && f < n; i++) {
+            int64_t s0 = run_start[i];
+            int64_t cert_end = s0 + run_len[i] + min_match - 1;
+            if (cert_end > n) cert_end = n;
+            if (cert_end <= f) continue;
+            int64_t dist = run_start[i] - run_src[i];
+            int64_t start_at = s0 > f ? s0 : f;
+            if (dist < 1 || start_at - dist < 0) continue;
+            if (cert_end - start_at < min_match) continue;
+            if (start_at > f && !emit(0, start_at - f, 0)) return -1;
+            if (!emit(1, cert_end - start_at, dist)) return -1;
+            f = cert_end;
+        }
+        if (f < n && !emit(0, n - f, 0)) return -1;
+        if (out_hole_bytes) *out_hole_bytes = 0;
+        return t;
     }
-    if (f < n) {
-        out_kind[t] = 0;
-        out_len[t] = n - f;
-        out_dist[t] = 0;
-        t++;
+
+    // Multi-way frontier walk: every chain contributes its NEXT
+    // verified match (exact byte scan at the chain's distance inside
+    // its certified span); a min-heap on match start picks the
+    // earliest available match - chains never lock their whole span,
+    // so an overlapping chain at a better distance wins wherever it
+    // matches earlier.  This is the behavior an exhaustive
+    // per-position probe (the reference's hash loop,
+    // src/rzip.c:586-762) exhibits across interleaved repeats.
+    struct Cand {
+        int64_t q, e, dist, cert_end;
+    };
+    struct Cmp {
+        bool operator()(const Cand& a, const Cand& b) const {
+            if (a.q != b.q) return a.q > b.q;            // earliest
+            return (a.e - a.q) < (b.e - b.q);            // longest
+        }
+    };
+    std::priority_queue<Cand, std::vector<Cand>, Cmp> heap;
+
+    // next verified match of a chain scanning from `from`
+    auto next_match = [&](int64_t dist, int64_t cert_end,
+                          int64_t from, Cand* out) -> bool {
+        int64_t scan_lim = cert_end - min_match;  // last allowed start
+        int64_t p = from;
+        if (p - dist < 0) p = dist;  // source must be in-bounds
+        if (p > scan_lim) return false;
+        int64_t run = 0, v = p;
+        while (v < n) {
+            run = (data[v] == data[v - dist]) ? run + 1 : 0;
+            v++;
+            if (run >= min_match) break;
+            if (v - run > scan_lim) { run = -1; break; }
+            if (--scan_budget < 0) { run = -1; break; }
+        }
+        if (run < min_match) { hole_bytes += v - p; return false; }
+        int64_t m_start = v - run;
+        hole_bytes += m_start - p;
+        // full right extension (past the certification, like the
+        // reference's match_len walk, src/rzip.c:431-493)
+        while (v < n && data[v] == data[v - dist]) v++;
+        *out = Cand{m_start, v, dist, cert_end};
+        return true;
+    };
+
+    int64_t i = 0;  // next unactivated chain (inputs sorted by start)
+    while (true) {
+        // activate chains that could start at or before the heap top
+        int64_t horizon = heap.empty() ? ((i < n_runs)
+                          ? run_start[i] : n) : heap.top().q;
+        while (i < n_runs && run_start[i] <= horizon) {
+            int64_t s0 = run_start[i];
+            int64_t cert_end = s0 + run_len[i] + min_match - 1;
+            if (cert_end > n) cert_end = n;
+            int64_t dist = run_start[i] - run_src[i];
+            i++;
+            if (dist < 1 || cert_end <= f) continue;
+            Cand c;
+            // NOTE: never shrink `horizon` here - stopping activation
+            // at a newly found earlier candidate can leave a chain
+            // unactivated while an emitted match jumps the frontier
+            // past its whole span (found as a 28KB coverage loss on a
+            // mid-file copy boundary)
+            if (next_match(dist, cert_end, s0 > f ? s0 : f, &c))
+                heap.push(c);
+        }
+        if (heap.empty()) {
+            if (i >= n_runs) break;
+            continue;  // skip ahead to the next chain's start
+        }
+        if (i < n_runs && run_start[i] <= heap.top().q)
+            continue;  // a candidate pushed mid-sweep may sit past
+                       // still-unactivated chains: activate everything
+                       // up to the heap top before ANY pop, or an
+                       // emitted long match jumps the frontier over
+                       // chains that were never given a candidate
+        Cand c = heap.top();
+        heap.pop();
+        if (c.e <= f || c.q >= n) {
+            // stale: frontier moved past it; rescan from f
+            Cand nc;
+            if (c.cert_end > f && next_match(c.dist, c.cert_end, f, &nc))
+                heap.push(nc);
+            continue;
+        }
+        int64_t m_start = c.q > f ? c.q : f;
+        // left extension over the literal gap
+        while (m_start > f && m_start - c.dist > 0 &&
+               data[m_start - 1] == data[m_start - 1 - c.dist])
+            m_start--;
+        if (c.e - m_start >= min_match) {
+            if (m_start > f && !emit(0, m_start - f, 0)) return -1;
+            if (!emit(1, c.e - m_start, c.dist)) return -1;
+            f = c.e;
+            if (f >= n) break;
+        }
+        // reinsert this chain's next match past the frontier
+        Cand nc;
+        if (c.cert_end > f && next_match(c.dist, c.cert_end, f, &nc))
+            heap.push(nc);
     }
+    if (f < n && !emit(0, n - f, 0)) return -1;
+    if (out_hole_bytes) *out_hole_bytes = hole_bytes;
     return t;
 }
 

@@ -181,3 +181,63 @@ def test_extract_strided_exact():
         x16 = rng.integers(0, 1 << 13, n).astype(np.int32)
         got16 = np.asarray(_extract_strided_u16(jnp.asarray(x16), stride))
         np.testing.assert_array_equal(got16, x16[::stride])
+
+
+def test_greedy_resync_across_gaps():
+    """A single gappy chain record recovers matches on BOTH sides of an
+    unmatched stretch (greedy_cover resync: matcher._CHAIN_GAP merges
+    same-distance seeds across interruptions; the walk re-verifies and
+    re-syncs at the chain's distance)."""
+    import numpy as np
+    from lrzip_next_tpu.ops.matcher import greedy_cover_from_runs
+    rng = np.random.default_rng(5)
+    seg_a = rng.integers(0, 256, 500, dtype=np.uint8)
+    seg_b = rng.integers(0, 256, 500, dtype=np.uint8)
+    noise = rng.integers(0, 256, 120, dtype=np.uint8)
+    # layout: A B | A noise B[120:]  - the second copy substitutes 120
+    # bytes in place, so dist-1000 matches hold on BOTH sides of the
+    # unmatched stretch
+    data = np.concatenate([seg_a, seg_b, seg_a, noise, seg_b[120:]])
+    n = len(data)
+    # one merged chain certifying [1000, 2240): covers A, the gap, B
+    rs = np.array([1000], np.int64)
+    rl = np.array([1100], np.int64)  # cert end ~ 2131
+    src = rs - 1000
+    kinds, lengths, dists = greedy_cover_from_runs(rs, rl, src, n,
+                                                   data=data)
+    m = kinds == 1
+    assert m.sum() == 2, (kinds, lengths)   # A-match AND B-match
+    assert int(lengths[m].sum()) == 880  # 500 + (500 - 120)
+    # replay correctness
+    lit = b"".join(
+        data[int(e - l):int(e)].tobytes()
+        for k, e, l in zip(kinds, np.cumsum(lengths), lengths) if k == 0)
+    from lrzip_next_tpu.format.tokens import replay_tokens
+    out = replay_tokens(kinds, lengths, dists,
+                        np.frombuffer(lit, np.uint8))
+    assert np.array_equal(out, data)
+
+
+def test_chain_prune_keeps_ratio(corpus_factory):
+    """End-to-end ratio guard: the coverage prune + gap merge must not
+    cost compression on a long-range-redundant corpus (the TPU match
+    path vs the exhaustive host rzip encoder)."""
+    import numpy as np
+    from lrzip_next_tpu.ops.matcher import rzip_encode_chunk_tpu
+    from lrzip_next_tpu.models.rzip_host import rzip_encode_chunk
+    base = corpus_factory(120_000, "mixed")
+    # two far-apart copies with local noise interruptions inside
+    rng = np.random.default_rng(9)
+    b = bytearray(base)
+    for off in range(10_000, 110_000, 17_000):
+        b[off:off + 40] = rng.integers(0, 256, 40, dtype=np.uint8).tobytes()
+    data = np.frombuffer(base + bytes(b), np.uint8)
+    kinds, lengths, dists = rzip_encode_chunk_tpu(data, stride=8)
+    m = kinds == 1
+    tpu_match = int(lengths[m].sum())
+    hk, hl, hd = rzip_encode_chunk(data)
+    hm = hk == 1
+    host_match = int(hl[hm].sum())
+    # the sampled+pruned TPU path must keep >= 90% of the exhaustive
+    # host matcher's matched bytes on this corpus
+    assert tpu_match >= 0.9 * host_match, (tpu_match, host_match)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 import bench
 from lrzip_next_tpu.ops.matcher import (TpuMatchJob, _bucket_size,
-                                        _fetch_seeds, greedy_cover_from_runs)
+                                        _fetch_seeds_counted,
+                                        greedy_cover_from_runs)
 
 MB = 1 << 20
 N = int(sys.argv[1]) * MB if len(sys.argv) > 1 else 64 * MB
@@ -37,16 +38,16 @@ for rep in range(3):
     t0 = time.time()
     job = TpuMatchJob(arr, stride=8, dev=dev)
     t1 = time.time()
-    starts, ends, srcs, n_runs = job.compacted
-    k = int(n_runs)
+    starts, ends, srcs, n_keep, n_raw = job.compacted
     t2 = time.time()
-    rs, src = _fetch_seeds(starts, srcs, k)
-    rl = np.ones(k, np.int64)
+    k, raw, rs, re, src = _fetch_seeds_counted(
+        starts, ends, srcs, n_keep, n_raw, job.fetch_cap)
+    rl = re - rs + 1
     t3 = time.time()
     kinds, lengths, dists = greedy_cover_from_runs(
         rs, rl, src, job.n, data=job.data)
     t4 = time.time()
     print(f"rep{rep}: dispatch {1e3*(t1-t0):.1f}ms | sync(n_runs) "
-          f"{1e3*(t2-t1):.1f}ms | k={k} fetch_seeds {1e3*(t3-t2):.1f}ms "
+          f"{1e3*(t2-t1):.1f}ms | k={k}/raw={raw} fetch_seeds {1e3*(t3-t2):.1f}ms "
           f"| greedy {1e3*(t4-t3):.1f}ms | total {1e3*(t4-t0):.1f}ms",
           flush=True)
