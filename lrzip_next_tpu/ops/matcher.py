@@ -300,7 +300,7 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
 # whole duplicated segment ships as ONE record instead of one per
 # local-repeat interruption (456K -> ~10K records on the 64MB bench
 # corpus, and the coverage prune below needs the long spans to bite).
-_CHAIN_GAP = 16384
+_CHAIN_GAP = 1024
 # Chains this long (certified span bytes) count as coverage for the
 # prune: shorter chains wholly under the running covered frontier are
 # dropped before the host transfer.
@@ -506,10 +506,23 @@ _CAP_HINTS: dict = {}
 _HOLE_REFETCH_FRACTION = 256
 
 
+def _host_prune_mask(rs: np.ndarray, re: np.ndarray) -> np.ndarray:
+    """Numpy twin of _prune_and_order's keep rule over pos-ordered
+    records (deterministic integer ops, so device-pruned and
+    host-pruned subsets are identical)."""
+    cert_end = re + (HASH_W - 1)
+    span = re - rs
+    cover = np.where(span >= _PRUNE_MIN_SPAN, cert_end, 0)
+    frontier = np.concatenate(
+        [[0], np.maximum.accumulate(cover)[:-1]])
+    return (cert_end > frontier) | (span > 0)
+
+
 def _adaptive_greedy(rs, rl, src, n, data, k, raw, fetch_full,
-                     cap: int):
+                     cap: int, refetched: list | None = None):
     """Greedy over the pruned records; refetch the full set and redo
-    when hole bytes say the prune cost real matches."""
+    when hole bytes say the prune cost real matches.  Appends to
+    ``refetched`` when the full set was used (full_mode trigger)."""
     holes: list = []
     tokens = greedy_cover_from_runs(rs, rl, src, n, data=data,
                                     hole_out=holes)
@@ -520,6 +533,8 @@ def _adaptive_greedy(rs, rl, src, n, data, k, raw, fetch_full,
         k2 = min(k2, fc)
         tokens = greedy_cover_from_runs(
             rs2[:k2], (re2 - rs2)[:k2] + 1, src2[:k2], n, data=data)
+        if refetched is not None:
+            refetched.append(True)
     return tokens
 
 
@@ -742,9 +757,11 @@ class TpuMatchJob:
             hint = _CAP_HINTS.get((nb, stride))
             if hint is not None and hint[0] > self.cap:
                 self.cap = min(_bucket_cap(hint[0], k), k)
-            self.fetch_cap = min(
-                _bucket_cap(hint[1], k) if hint is not None else 8192,
-                self.cap)
+            fetch_hint = 8192
+            if hint is not None:
+                # full_mode fetches the raw set; size the window for it
+                fetch_hint = hint[0] if hint[2] else hint[1]
+            self.fetch_cap = min(_bucket_cap(fetch_hint, k), self.cap)
             pos, cand, ok = anchor_candidates_unordered(dev, stride)
             self.compacted = _seed_compact_impl()(
                 pos, cand, ok, jnp.int32(self.limit), self.cap, stride)
@@ -773,28 +790,59 @@ class TpuMatchJob:
                     np.array([0], np.int64))
         if self.stride > 1:
             # anchor path: pruned chain records (start, end, dist)
-            # delta-packed; both counts + records in one readback
+            # delta-packed; both counts + records in one readback.
+            # full_mode (sticky per stream shape): once a chunk's
+            # pruned walk reported holes and refetched, later chunks
+            # fetch the full set directly - the tokens are identical
+            # either way (both end at greedy(full)), one fetch and one
+            # walk cheaper.
             pruned, full, n_keep, n_raw = self.compacted
+            key = (_bucket_size(self.n), self.stride)
+            hint = _CAP_HINTS.get(key)
+            full_mode = bool(hint and hint[2])
+            src_set, cnt = (full, n_raw) if full_mode else (pruned,
+                                                            n_keep)
             k, raw, rs, re, src = _fetch_seeds_counted(
-                *pruned, n_keep, n_raw, self.fetch_cap)
+                *src_set, cnt, n_raw, self.fetch_cap)
             if raw > self.cap:  # chain overflow: redo at a bigger cap
                 pruned, full, n_keep, n_raw = self.redo(raw)
+                src_set, cnt = (full, n_raw) if full_mode else (pruned,
+                                                                n_keep)
                 self.cap = int(pruned[0].shape[0])
                 self.fetch_cap = self.cap
                 k, raw, rs, re, src = _fetch_seeds_counted(
-                    *pruned, n_keep, n_raw, self.fetch_cap)
-            elif k > self.fetch_cap:  # kept > fetch window: refetch
+                    *src_set, cnt, n_raw, self.fetch_cap)
+            elif k > self.fetch_cap:  # count > fetch window: refetch
                 self.fetch_cap = min(_bucket_cap(k, self.cap), self.cap)
                 k, raw, rs, re, src = _fetch_seeds_counted(
-                    *pruned, n_keep, n_raw, self.fetch_cap)
+                    *src_set, cnt, n_raw, self.fetch_cap)
             k = min(k, self.fetch_cap)
-            _CAP_HINTS[(_bucket_size(self.n), self.stride)] = (raw, k)
             rs, re, src = rs[:k], re[:k], src[:k]
             rl = re - rs + 1
-            kinds, lengths, dists = _adaptive_greedy(
-                rs, rl, src, self.n, self.data, k, raw,
-                lambda fc: _fetch_seeds_counted(
-                    *full, n_raw, n_raw, fc), self.cap)
+            if full_mode:
+                # tokens must stay a pure function of chunk content
+                # (mesh/single-device equivalence): replicate the
+                # device prune on the fetched full set, walk the
+                # pruned subset first, and only use the full set when
+                # the same hole trigger fires - identical decisions to
+                # the non-full_mode path, zero extra transfers.
+                keep = _host_prune_mask(rs, re)
+                kp = int(keep.sum())
+                refetched = []
+                kinds, lengths, dists = _adaptive_greedy(
+                    rs[keep], rl[keep], src[keep], self.n, self.data,
+                    kp, k,
+                    lambda fc: (k, k, rs, re, src), self.cap,
+                    refetched)
+                _CAP_HINTS[key] = (raw, k, True)
+            else:
+                refetched = []
+                kinds, lengths, dists = _adaptive_greedy(
+                    rs, rl, src, self.n, self.data, k, raw,
+                    lambda fc: _fetch_seeds_counted(
+                        *full, n_raw, n_raw, fc), self.cap,
+                    refetched)
+                _CAP_HINTS[key] = (raw, k, bool(refetched))
         else:
             starts, ends, srcs, n_runs = self.compacted
             k = int(n_runs)
