@@ -293,18 +293,15 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
     return start, is_end
 
 
-# Same-distance seeds within this many bytes merge into one chain.
-# Large on purpose: the host greedy RESYNCS across unmatched stretches
-# inside a chain (exact byte re-verification at the chain's distance -
-# greedy_cover's scan loop), so a gappy chain loses nothing, while a
-# whole duplicated segment ships as ONE record instead of one per
-# local-repeat interruption (456K -> ~10K records on the 64MB bench
-# corpus, and the coverage prune below needs the long spans to bite).
+# Same-distance seeds within this many bytes merge into one chain:
+# the host greedy RESYNCS across unmatched stretches inside a chain
+# (exact byte re-verification at the chain's distance - greedy_cover's
+# scan loop), so a gappy chain loses nothing.  The value balances
+# record count against blind resync scanning: 1024 ships ~2.8x fewer
+# records than per-interruption chains while the walk stays ~35ms per
+# 32MB; 16384 merged further but let ubiquitous-distance mega-chains
+# scan megabytes of unmatched text per resync (540ms).
 _CHAIN_GAP = 1024
-# Chains this long (certified span bytes) count as coverage for the
-# prune: shorter chains wholly under the running covered frontier are
-# dropped before the host transfer.
-_PRUNE_MIN_SPAN = 256
 
 
 def _dist_sorted_seed_starts(pos, cand, ok, limit, stride):
@@ -335,34 +332,13 @@ def _dist_sorted_seed_starts(pos, cand, ok, limit, stride):
     return start, is_end, sp, sd
 
 
-def _prune_and_order(starts_c, dists_c, ends_c, n_raw, cap: int):
-    """Position-order chains, drop records wholly under the covered
-    frontier, recompact.  A chain with span >= _PRUNE_MIN_SPAN extends
-    the running covered frontier to its certified end (end + HASH_W-1);
-    any later chain ending at or before that frontier can only certify
-    redundancy the greedy walk will already have passed - dropping it
-    costs nothing when the cover holds and at most a short match when
-    a fingerprint collision breaks it.  Returns (starts, ends, dists,
-    n_kept) in position order, kept records first."""
+def _order_chains(starts_c, dists_c, ends_c, n_raw, cap: int):
+    """Position-order the compacted chain records (kept records first,
+    pads at _I32_BIG)."""
     idx = jax.lax.iota(jnp.int32, cap)
     starts_m = jnp.where(idx < n_raw, starts_c, _I32_BIG)
     ps, ds, pe = jax.lax.sort((starts_m, dists_c, ends_c), num_keys=1)
-    live = idx < n_raw
-    cert_end = pe + (HASH_W - 1)
-    span = pe - ps
-    cover = jnp.where(live & (span >= _PRUNE_MIN_SPAN), cert_end, 0)
-    frontier = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jax.lax.cummax(cover)[:-1]])
-    # multi-seed chains (span > 0) always ship: a covered local chain
-    # can still certify matches the covering chain's distance cannot
-    # (measured: dropping them cost ~3% of matched bytes; dropping
-    # only covered SINGLE-seed chains costs ~1% for ~2.4x fewer
-    # records)
-    keep = live & ((cert_end > frontier) | (span > 0))
-    n_keep = jnp.sum(keep.astype(jnp.int32))
-    key = jnp.where(keep, ps, _I32_BIG)
-    ps2, ds2, pe2 = jax.lax.sort((key, ds, pe), num_keys=1)
-    return (ps2, pe2, ds2), (ps, pe, ds), n_keep
+    return ps, pe, ds
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
@@ -385,9 +361,9 @@ def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
         (jnp.where(start, idxk, _I32_BIG), sp, sd), num_keys=1)
     _, pe_c = jax.lax.sort(
         (jnp.where(is_end, idxk, _I32_BIG), sp), num_keys=1)
-    pruned, full, n_keep = _prune_and_order(
-        ps_c[:cap], ds_c[:cap], pe_c[:cap], n_raw, cap)
-    return pruned, full, n_keep, n_raw
+    ps, pe, ds = _order_chains(ps_c[:cap], ds_c[:cap], pe_c[:cap],
+                               n_raw, cap)
+    return (ps, pe, ds), n_raw
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "stride"))
@@ -399,9 +375,8 @@ def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int):
     # ends compact 1:1 with starts (chains are contiguous segments in
     # dist order, so the i-th end mask element closes the i-th start)
     ends_c, _, _ = compact_starts_pallas(is_end, sp, sd, cap)
-    pruned, full, n_keep = _prune_and_order(starts_c, dists_c, ends_c,
-                                            n_raw, cap)
-    return pruned, full, n_keep, n_raw
+    ps, pe, ds = _order_chains(starts_c, dists_c, ends_c, n_raw, cap)
+    return (ps, pe, ds), n_raw
 
 
 def _seed_compact_impl():
@@ -493,51 +468,6 @@ def _bucket_cap(k: int, hi: int) -> int:
     return min(c, hi)
 
 
-# last observed run count per (bucketed chunk size, stride): chunks of
-# one stream have similar seed density, so the next job sizes its
-# compaction cap to skip the overflow redo
-_CAP_HINTS: dict = {}
-
-# refetch the full (unpruned) chain set when the pruned walk reports
-# more than n/_HOLE_REFETCH_FRACTION unmatched bytes inside certified
-# spans: the prune dropped records the covering chains cannot
-# re-certify (decision is per-chunk and content-deterministic, so mesh
-# and single-device runs stay byte-identical)
-_HOLE_REFETCH_FRACTION = 256
-
-
-def _host_prune_mask(rs: np.ndarray, re: np.ndarray) -> np.ndarray:
-    """Numpy twin of _prune_and_order's keep rule over pos-ordered
-    records (deterministic integer ops, so device-pruned and
-    host-pruned subsets are identical)."""
-    cert_end = re + (HASH_W - 1)
-    span = re - rs
-    cover = np.where(span >= _PRUNE_MIN_SPAN, cert_end, 0)
-    frontier = np.concatenate(
-        [[0], np.maximum.accumulate(cover)[:-1]])
-    return (cert_end > frontier) | (span > 0)
-
-
-def _adaptive_greedy(rs, rl, src, n, data, k, raw, fetch_full,
-                     cap: int, refetched: list | None = None):
-    """Greedy over the pruned records; refetch the full set and redo
-    when hole bytes say the prune cost real matches.  Appends to
-    ``refetched`` when the full set was used (full_mode trigger)."""
-    holes: list = []
-    tokens = greedy_cover_from_runs(rs, rl, src, n, data=data,
-                                    hole_out=holes)
-    if (k < raw and holes
-            and holes[0] > max(4096, n // _HOLE_REFETCH_FRACTION)):
-        fc = min(_bucket_cap(raw, cap), cap)
-        k2, _, rs2, re2, src2 = fetch_full(fc)
-        k2 = min(k2, fc)
-        tokens = greedy_cover_from_runs(
-            rs2[:k2], (re2 - rs2)[:k2] + 1, src2[:k2], n, data=data)
-        if refetched is not None:
-            refetched.append(True)
-    return tokens
-
-
 def _fetch_compacted(starts, ends, srcs, k: int):
     """One static-shape transfer of the capped arrays, sliced on host.
 
@@ -551,39 +481,36 @@ def _fetch_compacted(starts, ends, srcs, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("fetch_cap",))
-def _pack_seeds(starts, ends, dists, n_keep, n_raw, fetch_cap: int):
+def _pack_seeds(starts, ends, dists, n_runs, fetch_cap: int):
     """Delta-encode chain records on device before the host transfer:
     start deltas, distances and spans are small-valued ints whose high
     bytes are mostly zero, which the axon tunnel's wire compression
-    shrinks 2-4x (raw positions are incompressible).  Both counts ride
-    as elements 0-1 so counts + records arrive in ONE readback (a
+    shrinks 2-4x (raw positions are incompressible).  The record count
+    rides as element 0 so count + records arrive in ONE readback (a
     separate int(n_runs) sync costs a full tunnel RTT per chunk).
     Only the first fetch_cap records travel; the caller refetches at a
-    bigger bucket when n_keep overflows (no device recompute)."""
-    live = jax.lax.iota(jnp.int32, fetch_cap) < n_keep
+    bigger bucket on overflow (no device recompute)."""
+    live = jax.lax.iota(jnp.int32, fetch_cap) < n_runs
     s = jnp.where(live, starts[:fetch_cap], 0)
     e = jnp.where(live, ends[:fetch_cap], 0)
     d = jnp.where(live, dists[:fetch_cap], 0)
     d0 = jnp.concatenate([s[:1], jnp.diff(s)])
     return jnp.concatenate([
-        jnp.reshape(n_keep, (1,)).astype(jnp.int32),
-        jnp.reshape(n_raw, (1,)).astype(jnp.int32),
+        jnp.reshape(n_runs, (1,)).astype(jnp.int32),
         d0, d, e - s])
 
 
-def _fetch_seeds_counted(starts, ends, dists, n_keep, n_raw,
-                         fetch_cap: int):
-    """One-transfer fetch -> (n_keep, n_raw, starts, ends, srcs)."""
+def _fetch_seeds_counted(starts, ends, dists, n_runs, fetch_cap: int):
+    """One-transfer fetch -> (n_runs, starts, ends, srcs)."""
     fc = fetch_cap
     flat = np.asarray(jax.device_get(
-        _pack_seeds(starts, ends, dists, n_keep, n_raw, fc)))
+        _pack_seeds(starts, ends, dists, n_runs, fc)))
     k = int(flat[0])
-    raw = int(flat[1])
     kk = min(k, fc)
-    s = np.cumsum(flat[2:2 + kk].astype(np.int64))
-    dist = flat[2 + fc:2 + fc + kk].astype(np.int64)
-    span = flat[2 + 2 * fc:2 + 2 * fc + kk].astype(np.int64)
-    return k, raw, s, s + span, s - dist
+    s = np.cumsum(flat[1:1 + kk].astype(np.int64))
+    dist = flat[1 + fc:1 + fc + kk].astype(np.int64)
+    span = flat[1 + 2 * fc:1 + 2 * fc + kk].astype(np.int64)
+    return k, s, s + span, s - dist
 
 
 def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
@@ -710,6 +637,11 @@ def _bucket_size(n: int) -> int:
     return b
 
 
+# last observed run count per (bucketed chunk size, stride): chunks of
+# one stream have similar seed density, so the next job sizes its
+# compaction cap to skip the overflow redo
+_CAP_HINTS: dict = {}
+
 class TpuMatchJob:
     """Asynchronously-dispatched device work for one chunk.
 
@@ -755,13 +687,11 @@ class TpuMatchJob:
             # on seed-dense corpora.
             self.cap = max(min(k, 4096), k // 64)
             hint = _CAP_HINTS.get((nb, stride))
-            if hint is not None and hint[0] > self.cap:
-                self.cap = min(_bucket_cap(hint[0], k), k)
-            fetch_hint = 8192
-            if hint is not None:
-                # full_mode fetches the raw set; size the window for it
-                fetch_hint = hint[0] if hint[2] else hint[1]
-            self.fetch_cap = min(_bucket_cap(fetch_hint, k), self.cap)
+            if hint is not None and hint > self.cap:
+                self.cap = min(_bucket_cap(hint, k), k)
+            self.fetch_cap = min(
+                _bucket_cap(hint if hint is not None else 8192, k),
+                self.cap)
             pos, cand, ok = anchor_candidates_unordered(dev, stride)
             self.compacted = _seed_compact_impl()(
                 pos, cand, ok, jnp.int32(self.limit), self.cap, stride)
@@ -789,60 +719,28 @@ class TpuMatchJob:
                     np.array([self.n], np.int64),
                     np.array([0], np.int64))
         if self.stride > 1:
-            # anchor path: pruned chain records (start, end, dist)
-            # delta-packed; both counts + records in one readback.
-            # full_mode (sticky per stream shape): once a chunk's
-            # pruned walk reported holes and refetched, later chunks
-            # fetch the full set directly - the tokens are identical
-            # either way (both end at greedy(full)), one fetch and one
-            # walk cheaper.
-            pruned, full, n_keep, n_raw = self.compacted
+            # anchor path: chain records (start, end, dist)
+            # delta-packed; count + records arrive in one readback
+            records, n_raw = self.compacted
             key = (_bucket_size(self.n), self.stride)
-            hint = _CAP_HINTS.get(key)
-            full_mode = bool(hint and hint[2])
-            src_set, cnt = (full, n_raw) if full_mode else (pruned,
-                                                            n_keep)
-            k, raw, rs, re, src = _fetch_seeds_counted(
-                *src_set, cnt, n_raw, self.fetch_cap)
-            if raw > self.cap:  # chain overflow: redo at a bigger cap
-                pruned, full, n_keep, n_raw = self.redo(raw)
-                src_set, cnt = (full, n_raw) if full_mode else (pruned,
-                                                                n_keep)
-                self.cap = int(pruned[0].shape[0])
+            k, rs, re, src = _fetch_seeds_counted(
+                *records, n_raw, self.fetch_cap)
+            if k > self.cap:   # chain overflow: redo at a bigger cap
+                records, n_raw = self.redo(k)
+                self.cap = int(records[0].shape[0])
                 self.fetch_cap = self.cap
-                k, raw, rs, re, src = _fetch_seeds_counted(
-                    *src_set, cnt, n_raw, self.fetch_cap)
-            elif k > self.fetch_cap:  # count > fetch window: refetch
+                k, rs, re, src = _fetch_seeds_counted(
+                    *records, n_raw, self.fetch_cap)
+            elif k > self.fetch_cap:  # count > window: refetch bigger
                 self.fetch_cap = min(_bucket_cap(k, self.cap), self.cap)
-                k, raw, rs, re, src = _fetch_seeds_counted(
-                    *src_set, cnt, n_raw, self.fetch_cap)
+                k, rs, re, src = _fetch_seeds_counted(
+                    *records, n_raw, self.fetch_cap)
             k = min(k, self.fetch_cap)
+            _CAP_HINTS[key] = k
             rs, re, src = rs[:k], re[:k], src[:k]
             rl = re - rs + 1
-            if full_mode:
-                # tokens must stay a pure function of chunk content
-                # (mesh/single-device equivalence): replicate the
-                # device prune on the fetched full set, walk the
-                # pruned subset first, and only use the full set when
-                # the same hole trigger fires - identical decisions to
-                # the non-full_mode path, zero extra transfers.
-                keep = _host_prune_mask(rs, re)
-                kp = int(keep.sum())
-                refetched = []
-                kinds, lengths, dists = _adaptive_greedy(
-                    rs[keep], rl[keep], src[keep], self.n, self.data,
-                    kp, k,
-                    lambda fc: (k, k, rs, re, src), self.cap,
-                    refetched)
-                _CAP_HINTS[key] = (raw, k, True)
-            else:
-                refetched = []
-                kinds, lengths, dists = _adaptive_greedy(
-                    rs, rl, src, self.n, self.data, k, raw,
-                    lambda fc: _fetch_seeds_counted(
-                        *full, n_raw, n_raw, fc), self.cap,
-                    refetched)
-                _CAP_HINTS[key] = (raw, k, bool(refetched))
+            kinds, lengths, dists = greedy_cover_from_runs(
+                rs, rl, src, self.n, data=self.data)
         else:
             starts, ends, srcs, n_runs = self.compacted
             k = int(n_runs)

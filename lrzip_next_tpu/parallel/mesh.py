@@ -114,20 +114,17 @@ def _batched_seed_fn(mesh: Mesh, stride: int, cap: int):
     def one(chunk, limit):
         if stride > 1:
             pos, cand, ok = matcher.anchor_candidates(chunk, stride)
-            pr, fu, n_keep, n_raw = matcher.compact_seeds(
+            recs, n_raw = matcher.compact_seeds(
                 pos, cand, ok, limit, cap, stride)
-            # srcs derived host-side from dists; ship (start, end, dist)
-            # for the pruned AND full sets (adaptive greedy parity with
-            # the single-device path)
-            return pr + fu + (n_keep, n_raw)
+            # srcs derived host-side from the dist column
+            return recs + (n_raw,)
         cand, ok = matcher.match_candidates(chunk)
-        s, e, c, n_keep = matcher.compact_runs(cand, ok, limit, cap)
-        zero = jnp.zeros_like(s)
-        return (s, e, c, zero, zero, zero, n_keep, n_keep)
+        s, e, c, n_runs = matcher.compact_runs(cand, ok, limit, cap)
+        return (s, e, c, n_runs)
 
     return jax.jit(jax.vmap(one),
                    in_shardings=(dsh, lsh),
-                   out_shardings=(osh,) * 6 + (nsh, nsh))
+                   out_shardings=(osh, osh, osh, nsh))
 
 
 def pipeline_mesh() -> Optional[Mesh]:
@@ -200,9 +197,8 @@ class MeshMatchBatch:
     def _fetch(self):
         if self._fetched is None:
             arrs = self.compacted
-            tri = np.asarray(jax.device_get(jnp.stack(arrs[:6])))
-            self._fetched = (tri, np.asarray(jax.device_get(arrs[6])),
-                             np.asarray(jax.device_get(arrs[7])))
+            tri = np.asarray(jax.device_get(jnp.stack(arrs[:3])))
+            self._fetched = (tri, np.asarray(jax.device_get(arrs[3])))
         return self._fetched
 
     def collect(self, i: int):
@@ -218,10 +214,9 @@ class MeshMatchBatch:
                         np.zeros(0, np.int64))
             return (np.array([0], np.uint8), np.array([n], np.int64),
                     np.array([0], np.int64))
-        tri, n_runs, n_raw = self._fetch()
+        tri, n_runs = self._fetch()
         k = int(n_runs[i])
-        raw = int(n_raw[i])
-        if max(k, raw) > self.cap:
+        if k > self.cap:
             # rare overflow: redo this chunk through the single-device
             # job, whose bucketed-cap retry is the same one the
             # non-mesh pipeline would have taken (byte-identical).
@@ -237,19 +232,8 @@ class MeshMatchBatch:
         else:
             src = tri[2, i, :k].astype(np.int64)
         rl = re - rs + 1
-
-        def fetch_full(fc):
-            frs = tri[3, i, :raw].astype(np.int64)
-            fre = tri[4, i, :raw].astype(np.int64)
-            fsrc = frs - tri[5, i, :raw].astype(np.int64)
-            return raw, raw, frs[:fc], fre[:fc], fsrc[:fc]
-
-        if self.stride > 1:
-            kinds, lengths, dists = matcher._adaptive_greedy(
-                rs, rl, src, n, data, k, raw, fetch_full, self.cap)
-        else:
-            kinds, lengths, dists = matcher.greedy_cover_from_runs(
-                rs, rl, src, n, data=data)
+        kinds, lengths, dists = matcher.greedy_cover_from_runs(
+            rs, rl, src, n, data=data)
         m = kinds == 1
         self.stats[i] = {
             "chunk_bytes": n, "chains": k, "matches": int(m.sum()),

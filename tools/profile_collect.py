@@ -38,32 +38,18 @@ for rep in range(3):
     t0 = time.time()
     job = TpuMatchJob(arr, stride=8, dev=dev)
     t1 = time.time()
-    pruned, full, n_keep, n_raw = job.compacted
+    records, n_raw = job.compacted
     t2 = time.time()
-    k, raw, rs, re, src = _fetch_seeds_counted(
-        *pruned, n_keep, n_raw, job.fetch_cap)
+    k, rs, re, src = _fetch_seeds_counted(*records, n_raw, job.fetch_cap)
     rl = re - rs + 1
     t3 = time.time()
     holes = []
     kinds, lengths, dists = greedy_cover_from_runs(
         rs, rl, src, job.n, data=job.data, hole_out=holes)
-    t4 = time.time()
-    refetched = False
-    from lrzip_next_tpu.ops.matcher import _HOLE_REFETCH_FRACTION, _bucket_cap
-    if k < raw and holes and holes[0] > max(4096, job.n // _HOLE_REFETCH_FRACTION):
-        fc = min(_bucket_cap(raw, job.cap), job.cap)
-        k2, _, rs2, re2, src2 = _fetch_seeds_counted(*full, n_raw, n_raw, fc)
-        k2 = min(k2, fc)
-        t4b = time.time()
-        kinds, lengths, dists = greedy_cover_from_runs(
-            rs2[:k2], (re2 - rs2)[:k2] + 1, src2[:k2], job.n, data=job.data)
-        refetched = (t4b,)
     t5 = time.time()
     msg = (f"rep{rep}: dispatch {1e3*(t1-t0):.1f}ms | sync {1e3*(t2-t1):.1f}ms"
-           f" | k={k}/raw={raw} fetch {1e3*(t3-t2):.1f}ms"
-           f" | greedy1 {1e3*(t4-t3):.1f}ms holes={holes[0] if holes else 0}")
-    if refetched:
-        msg += (f" | REFETCH full {1e3*(refetched[0]-t4):.1f}ms"
-                f" | greedy2 {1e3*(t5-refetched[0]):.1f}ms")
-    msg += f" | total {1e3*(t5-t0):.1f}ms"
+           f" | k={k} fetch {1e3*(t3-t2):.1f}ms"
+           f" | greedy {1e3*(t5-t3):.1f}ms holes={holes[0] if holes else 0}"
+           f" | total {1e3*(t5-t0):.1f}ms")
     print(msg, flush=True)
+
