@@ -94,7 +94,7 @@ def bench_matcher_device(data: np.ndarray, stride: int = 8) -> float:
 
     def step_async():
         pos, cand, ok = anchor_candidates_unordered(dev, stride)
-        return compact(pos, cand, ok, jnp.int32(m), cap, stride)[3]
+        return compact(pos, cand, ok, jnp.int32(m), cap, stride)[1]
 
     int(step_async())  # compile + sync (scalar readback: the axon
     # remote backend's block_until_ready is async)

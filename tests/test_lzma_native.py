@@ -210,3 +210,20 @@ def test_lzma_mf_surface(corpus_factory, monkeypatch):
         s = lrz.Settings(method="lzma", lzma_mf=mf_code)
         arch = lrz.compress(data, s)
         assert lrz.decompress(arch) == data
+
+
+def test_bemt_pipelined_finder_pinned(corpus_factory):
+    """Backend-MT (the LzFindMt-analog pipelined finder) contract:
+    repeatable streams, ratio within 1% of single-thread, decodable by
+    us and liblzma.  Speedup is corpus-dependent (measured matrix in
+    docs/BENCHMARKS.md: 1.3-1.8x on this 2-CPU box); this test pins
+    the invariants that make the dial safe, not a timing."""
+    for kind in ("mixed", "text"):
+        data = corpus_factory(600_000, kind)
+        one = runtime.lzma1_encode(data, level=7, threads=1)
+        two = runtime.lzma1_encode(data, level=7, threads=2)
+        again = runtime.lzma1_encode(data, level=7, threads=2)
+        assert two == again, "bemt stream must be run-to-run stable"
+        assert len(two) <= len(one) * 1.01, (len(two), len(one))
+        assert runtime.lzma1_decode(two, len(data)) == data
+        assert _lib_dec(two, len(data)) == data
