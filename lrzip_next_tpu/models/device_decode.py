@@ -94,9 +94,17 @@ def decompress_to_device(data, settings: Optional[Settings] = None,
                     decode_token_stream(s0, hdr.chunk_bytes)
             if job.device_plane is not None:
                 plane = job.device_plane
+                # pass the bucket-padded plane UNsliced: a per-n slice
+                # would compile a fresh executable (and re-key the
+                # ragged kernel's row bucket) for every distinct
+                # literal size; the replay plan never sources past
+                # plane.n (advisor finding, round 4)
+                lit_total = int(np.asarray(lengths)[
+                    np.asarray(kinds) == 0].sum())
+                if plane.n != lit_total:
+                    raise ValueError("literal stream length mismatch")
                 lit_dev = plane.plane if plane.plane is not None \
                     else jnp.zeros(1, jnp.uint8)
-                lit_dev = lit_dev[:max(plane.n, 1)]
             else:
                 plane = None
                 lit_dev = jnp.asarray(np.frombuffer(

@@ -29,6 +29,7 @@ data-dependent control flow on device.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 from ..utils import jaxcache
@@ -304,7 +305,8 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
 _CHAIN_GAP = 1024
 
 
-def _dist_sorted_seed_starts(pos, cand, ok, limit, stride):
+def _dist_sorted_seed_starts(pos, cand, ok, limit, stride,
+                             gap: int = _CHAIN_GAP):
     """Chain start/end masks over seeds sorted by (dist, pos).
 
     Position-adjacent chaining (_anchor_chain_masks) shatters the long
@@ -326,7 +328,7 @@ def _dist_sorted_seed_starts(pos, cand, ok, limit, stride):
     cont = jnp.concatenate([
         jnp.zeros((1,), bool),
         sv[1:] & sv[:-1] & (sd[1:] == sd[:-1])
-        & (sp[1:] - sp[:-1] <= _CHAIN_GAP)])
+        & (sp[1:] - sp[:-1] <= gap)])
     start = sv & ~cont
     is_end = sv & jnp.concatenate([~cont[1:], jnp.ones((1,), bool)])
     return start, is_end, sp, sd
@@ -341,8 +343,9 @@ def _order_chains(starts_c, dists_c, ends_c, n_raw, cap: int):
     return ps, pe, ds
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "stride"))
-def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
+@functools.partial(jax.jit, static_argnames=("cap", "stride", "gap"))
+def compact_seeds(pos, cand, ok, limit, cap: int, stride: int,
+                  gap: int = _CHAIN_GAP):
     """XLA fallback seed compaction (CPU meshes and tests).
 
     Chain starts AND ends are compacted (the greedy's resync walk
@@ -350,7 +353,7 @@ def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
     - see _dist_sorted_seed_starts - then _prune_and_order drops
     covered records and returns position order."""
     start, is_end, sp, sd = _dist_sorted_seed_starts(pos, cand, ok,
-                                                     limit, stride)
+                                                     limit, stride, gap)
     n_raw = jnp.sum(start.astype(jnp.int32))
     # compact in INPUT (dist-sorted) order - sorting by position value
     # would break the i-th-start <-> i-th-end pairing for chains nested
@@ -366,11 +369,12 @@ def compact_seeds(pos, cand, ok, limit, cap: int, stride: int):
     return (ps, pe, ds), n_raw
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "stride"))
-def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int):
+@functools.partial(jax.jit, static_argnames=("cap", "stride", "gap"))
+def compact_seeds_pallas(pos, cand, ok, limit, cap: int, stride: int,
+                         gap: int = _CHAIN_GAP):
     from .compact_pallas import compact_starts_pallas
     start, is_end, sp, sd = _dist_sorted_seed_starts(pos, cand, ok,
-                                                     limit, stride)
+                                                     limit, stride, gap)
     starts_c, dists_c, n_raw = compact_starts_pallas(start, sp, sd, cap)
     # ends compact 1:1 with starts (chains are contiguous segments in
     # dist order, so the i-th end mask element closes the i-th start)
@@ -524,6 +528,154 @@ def _fetch_seeds_counted(starts, ends, dists, n_runs, fetch_cap: int):
     return k, s, s + span, s - dist
 
 
+# ---------------------------------------------------------------------------
+# device-side greedy selection (round 5): the record readback was ~60%
+# of the compress critical path (3.5-4MB/chunk of chain records at the
+# host link's rate).  Selecting the emitted matches ON DEVICE shrinks
+# the readback to the final token columns (~KBs).  The greedy
+# left-to-right cover has a parallel-friendly equivalent once spans are
+# exact: with records sorted by start, the frontier after record i is
+# simply the running max of span ends seen so far - a record is
+# selected iff its end exceeds that running max, and its start is
+# clipped to it.  Selected pieces are disjoint and sorted by
+# construction (the reference's greedy emit loop, src/rzip.c:673-688,
+# expressed as one prefix-scan instead of a sequential walk).
+# Fingerprint exactness (~2^-40 per pair) stands in for byte equality
+# on device; the host finalize pass (runtime.finalize_tokens)
+# byte-verifies every emitted span, resyncs across interior holes, and
+# extends matches into the literal gaps - so a collision can only
+# shrink a match, never corrupt the stream.
+
+
+@jax.jit
+def select_records(ps, pe, ds, n_raw):
+    """Prefix-max greedy over position-ordered chain records.
+
+    Args: cap-sized (start, end, dist) records sorted by start with
+    pads at _I32_BIG (from _order_chains); n_raw = live record count.
+    Returns (ss, sl, sd, n_sel): selected piece starts (ascending,
+    pads at _I32_BIG), byte lengths, distances, and the selected count.
+    Pieces are disjoint; sub-MINIMUM_MATCH clips are dropped (their
+    bytes fall to literals; the host finalize's left-extension recovers
+    the recoverable ones).
+    """
+    cap = ps.shape[0]
+    idx = jax.lax.iota(jnp.int32, cap)
+    valid = (idx < n_raw) & (ps < _I32_BIG)
+    # exclusive end of the certified span: last seed + window
+    e_full = jnp.where(valid, pe + jnp.int32(HASH_W), jnp.int32(-1))
+    run_max = jax.lax.associative_scan(jnp.maximum, e_full)
+    frontier = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), run_max[:-1]])
+    clip_s = jnp.maximum(ps, frontier)
+    plen = e_full - clip_s
+    sel = valid & (e_full > frontier) & (plen >= jnp.int32(MINIMUM_MATCH))
+    n_sel = jnp.sum(sel.astype(jnp.int32))
+    key = jnp.where(sel, clip_s, _I32_BIG)
+    ss, sl, sd = jax.lax.sort((key, plen, ds), num_keys=1)
+    return ss, sl, sd, n_sel
+
+
+@functools.partial(jax.jit, static_argnames=("fetch_cap",))
+def _pack_selected(ss, sl, sd, n_sel, n_raw, fetch_cap: int):
+    """Delta-pack selected pieces for ONE counted readback (see
+    _pack_seeds for why: wire compression on small-valued columns, and
+    the count rides as elements 0-1 so no separate sync RTT).  Element
+    1 carries n_raw so a compaction-cap overflow is detected from the
+    same transfer."""
+    live = jax.lax.iota(jnp.int32, fetch_cap) < n_sel
+    s = jnp.where(live, ss[:fetch_cap], 0)
+    l = jnp.where(live, sl[:fetch_cap], 0)
+    d = jnp.where(live, sd[:fetch_cap], 0)
+    d0 = jnp.concatenate([s[:1], jnp.diff(s)])
+    return jnp.concatenate([
+        jnp.reshape(n_sel, (1,)).astype(jnp.int32),
+        jnp.reshape(n_raw, (1,)).astype(jnp.int32),
+        d0, l, d])
+
+
+def _fetch_selected_counted(ss, sl, sd, n_sel, n_raw, fetch_cap: int):
+    """One-transfer fetch -> (n_sel, n_raw, starts, lens, dists)."""
+    fc = fetch_cap
+    flat = np.asarray(jax.device_get(
+        _pack_selected(ss, sl, sd, n_sel, n_raw, fc)))
+    k = int(flat[0])
+    kraw = int(flat[1])
+    kk = min(k, fc)
+    s = np.cumsum(flat[2:2 + kk].astype(np.int64))
+    ln = flat[2 + fc:2 + fc + kk].astype(np.int64)
+    d = flat[2 + 2 * fc:2 + 2 * fc + kk].astype(np.int64)
+    return k, kraw, s, ln, d
+
+
+def finalize_selected(starts: np.ndarray, lens: np.ndarray,
+                      dists: np.ndarray, n: int,
+                      data: np.ndarray, w: int = HASH_W,
+                      hole_out: list | None = None
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Byte-verify + extend device-selected pieces into final tokens.
+
+    Native path: runtime.finalize_tokens.  The numpy fallback mirrors
+    its semantics: per piece, extend the start left across the literal
+    gap, scan the span emitting maximal byte-verified matches
+    (resyncing over interior holes), extend the last match right.
+    ``hole_out`` receives the count of scanned-but-unverified bytes
+    inside selected spans (the walk-fallback trigger).
+    """
+    from .. import runtime
+    if runtime.available():
+        res = runtime.finalize_tokens(starts, lens, dists, n, data,
+                                      MINIMUM_MATCH, hole_out=hole_out)
+        if res is not None:
+            return res
+    kinds, out_l, out_d = [], [], []
+    f = 0
+    holes = 0
+
+    def emit(kind, length, dist):
+        kinds.append(kind)
+        out_l.append(length)
+        out_d.append(dist)
+
+    for s0, l0, d in zip(starts, lens, dists):
+        s0, l0, d = int(s0), int(l0), int(d)
+        e0 = min(s0 + l0, n)
+        if d < 1 or e0 <= f:
+            continue
+        s = max(s0, f)
+        if s - d < 0:
+            continue
+        # left extension across the literal gap
+        while s > f and s > d and data[s - 1] == data[s - 1 - d]:
+            s -= 1
+        p = s
+        while p < e0:
+            q = p
+            maxl = n - p
+            l = 0
+            while l < maxl and data[p + l] == data[p - d + l]:
+                l += 1
+            if l >= MINIMUM_MATCH:
+                if q > f:
+                    emit(0, q - f, 0)
+                emit(1, l, d)
+                f = q + l
+                p = f
+            else:
+                step = min(l + 1, e0 - p)
+                holes += step
+                p += step
+        if f >= n:
+            break
+    if f < n:
+        emit(0, n - f, 0)
+    if hole_out is not None:
+        hole_out.append(holes)
+    return (np.array(kinds, dtype=np.uint8),
+            np.array(out_l, dtype=np.int64),
+            np.array(out_d, dtype=np.int64))
+
+
 def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run detection on device, then transfer only compacted run triples."""
@@ -548,7 +700,8 @@ def runs_to_host(cand: jnp.ndarray, ok: jnp.ndarray, limit: int | None = None
 def greedy_cover_from_runs(run_start: np.ndarray, run_len: np.ndarray,
                            run_src: np.ndarray, n: int, w: int = HASH_W,
                            data: np.ndarray | None = None,
-                           hole_out: list | None = None
+                           hole_out: list | None = None,
+                           gap_merged: bool = False
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy left-to-right token cover from verified chain runs.
 
@@ -561,7 +714,19 @@ def greedy_cover_from_runs(run_start: np.ndarray, run_len: np.ndarray,
     bidirectionally past the certification with exact byte compares.
     O(#runs + scanned bytes); runs in the native runtime when
     available, numpy fallback below.
+
+    ``data=None`` (unverified mode) emits each certified span wholesale
+    and is ONLY valid for stride-1 contiguous runs (match_candidates /
+    compact_runs output, where every span byte is covered by a verified
+    window).  Gap-merged chain records (the stride>1 anchor path) can
+    certify spans containing bytes that do NOT match at the chain's
+    distance - passing them without ``data`` would corrupt the token
+    stream, so that combination is rejected here.
     """
+    if gap_merged and data is None:
+        raise ValueError(
+            "gap-merged chain records require data for byte "
+            "verification (unverified mode is stride-1-only)")
     from .. import runtime
     if runtime.available():
         res = runtime.greedy_cover(run_start, run_len, run_src, n, w,
@@ -648,10 +813,21 @@ def _bucket_size(n: int) -> int:
     return b
 
 
-# last observed run count per (bucketed chunk size, stride): chunks of
-# one stream have similar seed density, so the next job sizes its
-# compaction cap to skip the overflow redo
+# Recent-max run-count hints per (bucketed chunk size, stride): chunks
+# of one stream have similar seed density, so the next job sizes its
+# compaction cap / fetch window to skip the overflow redo.  Stored as a
+# decaying max (new = max(k, 3/4 * old)) so one seed-dense stream
+# cannot permanently inflate caps for later sparse streams sharing the
+# process (the hint is a size heuristic only - correctness never
+# depends on it).
 _CAP_HINTS: dict = {}
+_SEL_HINTS: dict = {}
+
+
+def _update_hint(hints: dict, key, k: int) -> None:
+    prev = hints.get(key, 0)
+    hints[key] = max(k, (prev * 3) // 4)
+
 
 class TpuMatchJob:
     """Asynchronously-dispatched device work for one chunk.
@@ -663,7 +839,8 @@ class TpuMatchJob:
     """
 
     def __init__(self, data: np.ndarray, stride: int = 1,
-                 dev: "jnp.ndarray | None" = None):
+                 dev: "jnp.ndarray | None" = None,
+                 select: "bool | None" = None):
         data = np.asarray(data, dtype=np.uint8)
         self.data = data
         self.stride = stride
@@ -687,8 +864,14 @@ class TpuMatchJob:
         m = nb - HASH_W + 1
         self.limit = self.n - HASH_W + 1
         self.m = m
+        if select is None:
+            select = (stride > 1
+                      and not os.environ.get("LRZ_MATCHER_WALK"))
+        self.select = select and stride > 1
         if stride > 1:
             k = m // stride
+            gap = _CHAIN_GAP
+            hkey = (nb, stride)
             # the compaction merge gathers cap elements (~41ns each on
             # TPU), so a tight cap matters; overflow redoes at the next
             # bucketed cap (never the full k - that compiles a huge
@@ -697,17 +880,23 @@ class TpuMatchJob:
             # that redo (an extra compaction pass + sync) every chunk
             # on seed-dense corpora.
             self.cap = max(min(k, 4096), k // 64)
-            hint = _CAP_HINTS.get((nb, stride))
-            if hint is not None and hint > self.cap:
+            hint = _CAP_HINTS.get(hkey)
+            if hint and hint > self.cap:
                 self.cap = min(_bucket_cap(hint, k), k)
-            self.fetch_cap = _fetch_bucket(
-                hint if hint is not None else 8192, self.cap)
+            self.hkey = hkey
             pos, cand, ok = anchor_candidates_unordered(dev, stride)
             self.compacted = _seed_compact_impl()(
-                pos, cand, ok, jnp.int32(self.limit), self.cap, stride)
+                pos, cand, ok, jnp.int32(self.limit), self.cap, stride,
+                gap)
             self.redo = lambda c: _seed_compact_impl()(
                 pos, cand, ok, jnp.int32(self.limit),
-                _bucket_cap(c, k), stride)
+                _bucket_cap(c, k), stride, gap)
+            if self.select:
+                records, n_raw = self.compacted
+                self.selected = select_records(*records, n_raw)
+                shint = _SEL_HINTS.get(hkey)
+                self.fetch_cap = _fetch_bucket(
+                    shint if shint else 8192, self.cap)
         else:
             cand, ok = match_candidates(dev)
             self.cap = max(min(m, 4096), m // 64)
@@ -715,6 +904,37 @@ class TpuMatchJob:
                 cand, ok, jnp.int32(self.limit), self.cap)
             self.redo = lambda c: _compact_impl()(
                 cand, ok, jnp.int32(self.limit), _bucket_cap(c, m))
+
+    def _collect_walk(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full-record fetch + heap-walk greedy (the round-4 path):
+        chain records (start, end, dist) delta-packed; count + records
+        arrive in one readback.  Used directly in walk mode and as the
+        select path's hole-rate fallback."""
+        records, n_raw = self.compacted
+        key = self.hkey
+        hint = _CAP_HINTS.get(key)
+        fetch_cap = _fetch_bucket(hint if hint else 8192, self.cap)
+        k, rs, re, src = _fetch_seeds_counted(
+            *records, n_raw, fetch_cap)
+        if k > self.cap:   # chain overflow: redo at a bigger cap
+            records, n_raw = self.redo(k)
+            self.compacted = records, n_raw
+            self.cap = int(records[0].shape[0])
+            fetch_cap = self.cap
+            k, rs, re, src = _fetch_seeds_counted(
+                *records, n_raw, fetch_cap)
+        elif k > fetch_cap:  # count > window: refetch bigger
+            fetch_cap = _fetch_bucket(k, self.cap)
+            k, rs, re, src = _fetch_seeds_counted(
+                *records, n_raw, fetch_cap)
+        k = min(k, fetch_cap)
+        _update_hint(_CAP_HINTS, key, k)
+        rs, re, src = rs[:k], re[:k], src[:k]
+        rl = re - rs + 1
+        kinds, lengths, dists = greedy_cover_from_runs(
+            rs, rl, src, self.n, data=self.data, gap_merged=True)
+        self.stats = {"chains": k}
+        return kinds, lengths, dists
 
     def collect(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self.trivial:
@@ -728,29 +948,63 @@ class TpuMatchJob:
             return (np.array([0], np.uint8),
                     np.array([self.n], np.int64),
                     np.array([0], np.int64))
-        if self.stride > 1:
-            # anchor path: chain records (start, end, dist)
-            # delta-packed; count + records arrive in one readback
-            records, n_raw = self.compacted
-            key = (_bucket_size(self.n), self.stride)
-            k, rs, re, src = _fetch_seeds_counted(
-                *records, n_raw, self.fetch_cap)
-            if k > self.cap:   # chain overflow: redo at a bigger cap
-                records, n_raw = self.redo(k)
-                self.cap = int(records[0].shape[0])
-                self.fetch_cap = self.cap
-                k, rs, re, src = _fetch_seeds_counted(
-                    *records, n_raw, self.fetch_cap)
-            elif k > self.fetch_cap:  # count > window: refetch bigger
-                self.fetch_cap = _fetch_bucket(k, self.cap)
-                k, rs, re, src = _fetch_seeds_counted(
-                    *records, n_raw, self.fetch_cap)
+        if self.select:
+            # device-selected pieces: ONE counted readback of the final
+            # token columns (KBs); host byte-verifies + extends
+            ss, sl, sd, n_sel = self.selected
+            _, n_raw = self.compacted
+            for _ in range(4):
+                k, kraw, s, ln, d = _fetch_selected_counted(
+                    ss, sl, sd, n_sel, n_raw, self.fetch_cap)
+                if kraw > self.cap:
+                    # record-cap overflow: selection saw truncated
+                    # records; redo compaction + selection at a
+                    # bigger bucketed cap
+                    self.compacted = self.redo(kraw)
+                    records, n_raw = self.compacted
+                    self.cap = int(records[0].shape[0])
+                    self.selected = select_records(*records, n_raw)
+                    ss, sl, sd, n_sel = self.selected
+                    self.fetch_cap = min(self.fetch_cap, self.cap)
+                    continue
+                if k > self.fetch_cap:  # count > window: refetch
+                    self.fetch_cap = _fetch_bucket(k, self.cap)
+                    continue
+                break
             k = min(k, self.fetch_cap)
-            _CAP_HINTS[key] = k
-            rs, re, src = rs[:k], re[:k], src[:k]
-            rl = re - rs + 1
-            kinds, lengths, dists = greedy_cover_from_runs(
-                rs, rl, src, self.n, data=self.data)
+            _update_hint(_CAP_HINTS, self.hkey, kraw)
+            _update_hint(_SEL_HINTS, self.hkey, k)
+            holes: list = []
+            kinds, lengths, dists = finalize_selected(
+                s[:k], ln[:k], d[:k], self.n, self.data,
+                hole_out=holes)
+            m = kinds == 1
+            match_bytes = int(lengths[m].sum())
+            hole_bytes = holes[0] if holes else 0
+            if hole_bytes > max(match_bytes // 16, self.n // 256):
+                # hole-dense spans: the prefix-max selection shadowed
+                # alternative chains (ubiquitous-dist text).  Fall back
+                # to the full-record heap walk for this chunk (records
+                # are still on device - only the bigger fetch is
+                # repaid).  The trigger is a pure function of chunk
+                # content, so mesh and single-device paths stay
+                # byte-identical.
+                kinds, lengths, dists = self._collect_walk()
+                m = kinds == 1
+                match_bytes = int(lengths[m].sum())
+                kraw = self.stats.get("chains", kraw)
+            self.stats = {
+                "chunk_bytes": self.n,
+                "chains": kraw,
+                "matches": int(m.sum()),
+                "match_bytes": match_bytes,
+                "literals": int((~m).sum()),
+                "literal_bytes": int(lengths[~m].sum()),
+            }
+            return kinds, lengths, dists
+        if self.stride > 1:
+            kinds, lengths, dists = self._collect_walk()
+            k = self.stats.get("chains", 0)
         else:
             starts, ends, srcs, n_runs = self.compacted
             k = int(n_runs)

@@ -160,8 +160,15 @@ def _stage_lit32_fn(n_in: int, rows: int):
     @jax.jit
     def fn(lit_dev):
         pad = rows * 1024 - n_in
-        flat = lit_dev if pad == 0 else jnp.concatenate(
-            [lit_dev, jnp.zeros((pad,), jnp.uint8)])
+        if pad < 0:
+            # caller passed a plane padded past the staged rows (rANS
+            # bucket padding); the tail holds no plan sources
+            flat = lit_dev[:rows * 1024]
+        elif pad == 0:
+            flat = lit_dev
+        else:
+            flat = jnp.concatenate(
+                [lit_dev, jnp.zeros((pad,), jnp.uint8)])
         body = flat.reshape(rows, 1024).astype(jnp.int32)
         lead = jnp.zeros((LEAD_ROWS, 1024), jnp.int32)
         trail = jnp.zeros((TRAIL_ROWS, 1024), jnp.int32)
@@ -172,9 +179,19 @@ def _stage_lit32_fn(n_in: int, rows: int):
 
 def _stage_lit32(lit_dev, lit_len: int):
     """uint8 literal plane -> lead/tail-padded (rows, 1024) int32
-    (one fused dispatch: eager op chains pay per-dispatch latency)."""
+    (one fused dispatch: eager op chains pay per-dispatch latency).
+
+    Rows are padded up to a pow2 bucket (1MB steps above 8MB) so the
+    staging jit AND the ragged kernel cache stay warm across chunks
+    with varying literal sizes - each distinct row count would
+    otherwise trigger a fresh 60-280s remote Mosaic compile under the
+    axon backend (advisor finding, round 4)."""
     rows = -(-max(lit_len, 1) // 1024)
-    return _stage_lit32_fn(int(lit_dev.shape[0]), rows)(lit_dev)
+    if rows > 8192:
+        rows_b = -(-rows // 1024) * 1024
+    else:
+        rows_b = _bucket_pow2(rows, 8)
+    return _stage_lit32_fn(int(lit_dev.shape[0]), rows_b)(lit_dev)
 
 
 def _make_kernel(nrows_lit: int):

@@ -116,15 +116,22 @@ def _batched_seed_fn(mesh: Mesh, stride: int, cap: int):
             pos, cand, ok = matcher.anchor_candidates(chunk, stride)
             recs, n_raw = matcher.compact_seeds(
                 pos, cand, ok, limit, cap, stride)
-            # srcs derived host-side from the dist column
-            return recs + (n_raw,)
+            # device greedy selection (round 5): the readback shrinks
+            # to the selected token columns; records ride along for
+            # the hole-rate walk fallback (srcs derived host-side
+            # from the dist column)
+            ss, sl, sd, n_sel = matcher.select_records(*recs, n_raw)
+            return recs + (n_raw,) + (ss, sl, sd, n_sel)
         cand, ok = matcher.match_candidates(chunk)
         s, e, c, n_runs = matcher.compact_runs(cand, ok, limit, cap)
         return (s, e, c, n_runs)
 
+    out_sh = (osh, osh, osh, nsh)
+    if stride > 1:
+        out_sh = out_sh + (osh, osh, osh, nsh)
     return jax.jit(jax.vmap(one),
                    in_shardings=(dsh, lsh),
-                   out_shardings=(osh, osh, osh, nsh))
+                   out_shardings=out_sh)
 
 
 def pipeline_mesh() -> Optional[Mesh]:
@@ -198,7 +205,13 @@ class MeshMatchBatch:
         if self._fetched is None:
             arrs = self.compacted
             tri = np.asarray(jax.device_get(jnp.stack(arrs[:3])))
-            self._fetched = (tri, np.asarray(jax.device_get(arrs[3])))
+            n_raw = np.asarray(jax.device_get(arrs[3]))
+            if len(arrs) > 4:  # stride>1: device-selected pieces too
+                sel = np.asarray(jax.device_get(jnp.stack(arrs[4:7])))
+                n_sel = np.asarray(jax.device_get(arrs[7]))
+            else:
+                sel = n_sel = None
+            self._fetched = (tri, n_raw, sel, n_sel)
         return self._fetched
 
     def collect(self, i: int):
@@ -214,7 +227,7 @@ class MeshMatchBatch:
                         np.zeros(0, np.int64))
             return (np.array([0], np.uint8), np.array([n], np.int64),
                     np.array([0], np.int64))
-        tri, n_runs = self._fetch()
+        tri, n_runs, sel, n_sel = self._fetch()
         k = int(n_runs[i])
         if k > self.cap:
             # rare overflow: redo this chunk through the single-device
@@ -225,15 +238,33 @@ class MeshMatchBatch:
             tokens = job.collect()
             self.stats[i] = job.stats
             return tokens
-        rs = tri[0, i, :k].astype(np.int64)
-        re = tri[1, i, :k].astype(np.int64)
-        if self.stride > 1:
-            src = rs - tri[2, i, :k].astype(np.int64)  # dist column
-        else:
-            src = tri[2, i, :k].astype(np.int64)
-        rl = re - rs + 1
-        kinds, lengths, dists = matcher.greedy_cover_from_runs(
-            rs, rl, src, n, data=data)
+        kinds = None
+        if sel is not None:
+            # device-selected pieces + host finalize, exactly as the
+            # single-device select path (same hole-rate fallback, a
+            # pure function of chunk content - archives byte-match)
+            ks = int(n_sel[i])
+            holes: list = []
+            kinds, lengths, dists = matcher.finalize_selected(
+                sel[0, i, :ks].astype(np.int64),
+                sel[1, i, :ks].astype(np.int64),
+                sel[2, i, :ks].astype(np.int64), n, data,
+                hole_out=holes)
+            mm = kinds == 1
+            mb = int(lengths[mm].sum())
+            if holes and holes[0] > max(mb // 16, n // 256):
+                kinds = None  # hole-dense: heap walk below
+        if kinds is None:
+            rs = tri[0, i, :k].astype(np.int64)
+            re = tri[1, i, :k].astype(np.int64)
+            if self.stride > 1:
+                src = rs - tri[2, i, :k].astype(np.int64)  # dist column
+            else:
+                src = tri[2, i, :k].astype(np.int64)
+            rl = re - rs + 1
+            kinds, lengths, dists = matcher.greedy_cover_from_runs(
+                rs, rl, src, n, data=data,
+                gap_merged=self.stride > 1)
         m = kinds == 1
         self.stats[i] = {
             "chunk_bytes": n, "chains": k, "matches": int(m.sum()),

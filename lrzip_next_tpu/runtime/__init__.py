@@ -61,6 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.greedy_cover.argtypes = [i64p, i64p, i64p, i64, i64, i64,
                                      ctypes.c_void_p, u8p, i64p, i64p,
                                      i64, i64p]
+        lib.finalize_tokens.restype = i64
+        lib.finalize_tokens.argtypes = [i64p, i64p, i64p, i64, u8p,
+                                        i64, i64, u8p, i64p, i64p, i64,
+                                        i64p]
         lib.replay_tokens.restype = i64
         lib.replay_tokens.argtypes = [u8p, i64p, i64p, i64, u8p, i64,
                                       u8p, i64, u8p, i64]
@@ -122,6 +126,24 @@ def _i64p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+# Thread-local token scratch: the worst-case cap (2*(n/min_match) +
+# 2*nr tokens ~ 70MB of arrays per 64MB chunk) is allocated once per
+# thread and reused - the walk usually emits a few thousand tokens, so
+# per-call np.empty of the worst case was pure allocator churn on the
+# 2-CPU host (advisor finding, round 4).
+_scratch = threading.local()
+
+
+def _token_scratch(cap: int):
+    cur = getattr(_scratch, "bufs", None)
+    if cur is None or len(cur[0]) < cap:
+        cur = (np.empty(cap, dtype=np.uint8),
+               np.empty(cap, dtype=np.int64),
+               np.empty(cap, dtype=np.int64))
+        _scratch.bufs = cur
+    return cur
+
+
 def greedy_cover(run_start: np.ndarray, run_len: np.ndarray,
                  run_src: np.ndarray, n: int, min_match: int,
                  data: Optional[np.ndarray] = None,
@@ -141,9 +163,7 @@ def greedy_cover(run_start: np.ndarray, run_len: np.ndarray,
     run_start = np.ascontiguousarray(run_start, dtype=np.int64)
     run_len = np.ascontiguousarray(run_len, dtype=np.int64)
     run_src = np.ascontiguousarray(run_src, dtype=np.int64)
-    ok = np.empty(cap, dtype=np.uint8)
-    ol = np.empty(cap, dtype=np.int64)
-    od = np.empty(cap, dtype=np.int64)
+    ok, ol, od = _token_scratch(cap)
     dptr = None
     if data is not None:
         data = np.ascontiguousarray(data, dtype=np.uint8)
@@ -152,6 +172,38 @@ def greedy_cover(run_start: np.ndarray, run_len: np.ndarray,
     t = lib.greedy_cover(_i64p(run_start), _i64p(run_len), _i64p(run_src),
                          nr, n, min_match, dptr, _u8p(ok), _i64p(ol),
                          _i64p(od), cap, _i64p(holes))
+    if t < 0:
+        return None
+    if hole_out is not None:
+        hole_out.append(int(holes[0]))
+    return ok[:t].copy(), ol[:t].copy(), od[:t].copy()
+
+
+def finalize_tokens(starts: np.ndarray, lens: np.ndarray,
+                    dists: np.ndarray, n: int, data: np.ndarray,
+                    min_match: int,
+                    hole_out: Optional[list] = None
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                        np.ndarray]]:
+    """Byte-verify + extend device-selected pieces into final rzip
+    tokens (csrc/hostops.cpp finalize_tokens).  Pieces must be
+    disjoint and sorted by start (the device selection's contract).
+    ``hole_out`` receives the unverified-byte count inside selected
+    spans - the walk-fallback trigger."""
+    lib = _load()
+    if lib is None:
+        return None
+    k = len(starts)
+    cap = 2 * (n // max(min_match, 1)) + 2 * k + 4
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    dists = np.ascontiguousarray(dists, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    ok, ol, od = _token_scratch(cap)
+    holes = np.zeros(1, dtype=np.int64)
+    t = lib.finalize_tokens(_i64p(starts), _i64p(lens), _i64p(dists),
+                            k, _u8p(data), n, min_match, _u8p(ok),
+                            _i64p(ol), _i64p(od), cap, _i64p(holes))
     if t < 0:
         return None
     if hole_out is not None:

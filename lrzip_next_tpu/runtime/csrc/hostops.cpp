@@ -207,6 +207,89 @@ int64_t greedy_cover(const int64_t* run_start, const int64_t* run_len,
     return t;
 }
 
+// ------------------------------------------------------------- finalize
+
+// Byte-verify + extend device-selected match pieces into the final
+// token stream (the host half of the round-5 device greedy: the
+// prefix-max selection on device emits disjoint, start-sorted pieces
+// whose spans are fingerprint-certified; this pass makes them exact).
+// Per piece: extend the start left across the literal gap, then scan
+// the span emitting maximal byte-verified matches (resyncing over any
+// interior hole at the same distance), letting the last match extend
+// right past the span end.  A fingerprint collision can only shrink or
+// split a match here, never corrupt the output - mirroring how the
+// reference's hash hits are always verified by byte compares before
+// emission (src/rzip.c:431-534).
+//
+// Returns the token count, or -1 when `cap` would overflow.
+// out_hole_bytes counts bytes scanned inside selected spans that did
+// NOT verify at the piece's distance - the signal that the device
+// selection shadowed alternative chains (hole-dense text), on which
+// the caller falls back to the full-record heap walk (greedy_cover).
+int64_t finalize_tokens(const int64_t* m_start, const int64_t* m_len,
+                        const int64_t* m_dist, int64_t k,
+                        const uint8_t* data, int64_t n,
+                        int64_t min_match, uint8_t* out_kind,
+                        int64_t* out_len, int64_t* out_dist,
+                        int64_t cap, int64_t* out_hole_bytes) {
+    int64_t f = 0;  // emission frontier
+    int64_t t = 0;
+    int64_t hole_bytes = 0;
+
+    auto emit = [&](int64_t kind, int64_t len, int64_t dist) -> bool {
+        if (t + 1 > cap) return false;
+        out_kind[t] = (uint8_t)kind;
+        out_len[t] = len;
+        out_dist[t] = dist;
+        t++;
+        return true;
+    };
+
+    auto match_fwd = [&](int64_t a, int64_t b, int64_t maxlen)
+        -> int64_t {
+        int64_t i = 0;
+        while (i + 8 <= maxlen) {
+            uint64_t x, y;
+            std::memcpy(&x, data + a + i, 8);
+            std::memcpy(&y, data + b + i, 8);
+            uint64_t d = x ^ y;
+            if (d) return i + (__builtin_ctzll(d) >> 3);
+            i += 8;
+        }
+        while (i < maxlen && data[a + i] == data[b + i]) i++;
+        return i;
+    };
+
+    for (int64_t i = 0; i < k && f < n; i++) {
+        int64_t d = m_dist[i];
+        int64_t e0 = m_start[i] + m_len[i];
+        if (e0 > n) e0 = n;
+        if (d < 1 || e0 <= f) continue;
+        int64_t s = m_start[i] > f ? m_start[i] : f;
+        if (s - d < 0) continue;
+        // left extension across the literal gap
+        while (s > f && s > d && data[s - 1] == data[s - 1 - d]) s--;
+        int64_t p = s;
+        while (p < e0) {
+            int64_t l = match_fwd(p, p - d, n - p);
+            if (l >= min_match) {
+                if (p > f && !emit(0, p - f, 0)) return -1;
+                if (!emit(1, l, d)) return -1;
+                f = p + l;
+                p = f;  // past e0 ends the span loop naturally
+            } else {
+                int64_t step = l + 1;
+                if (p + step > e0) step = e0 - p;
+                hole_bytes += step;
+                p += step;  // resync over an interior hole
+            }
+        }
+    }
+    if (f < n && !emit(0, n - f, 0)) return -1;
+    if (out_hole_bytes) *out_hole_bytes = hole_bytes;
+    return t;
+}
+
 // ---------------------------------------------------------------- parse
 
 // Parse a stream-0 token byte sequence into columnar arrays.

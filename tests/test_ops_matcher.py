@@ -241,3 +241,113 @@ def test_chain_prune_keeps_ratio(corpus_factory):
     # the sampled+pruned TPU path must keep >= 90% of the exhaustive
     # host matcher's matched bytes on this corpus
     assert tpu_match >= 0.9 * host_match, (tpu_match, host_match)
+
+
+# ---------------------------------------------------------------------------
+# round 5: device-side greedy selection path
+
+
+def _replay_check(data, kinds, lengths, dists):
+    lit = b"".join(
+        data[e - l:e].tobytes()
+        for k, e, l in zip(kinds, np.cumsum(lengths), lengths) if k == 0)
+    out = replay_tokens(kinds, lengths, dists,
+                        np.frombuffer(lit, np.uint8))
+    assert np.array_equal(out, data)
+    assert int(np.asarray(lengths).sum()) == len(data)
+    m = np.asarray(kinds) == 1
+    assert (np.asarray(lengths)[m] >= MINIMUM_MATCH).all()
+    return int(np.asarray(lengths)[m].sum())
+
+
+@pytest.mark.parametrize("stride", [2, 8, 16, 32])
+def test_select_path_roundtrip(corpus_factory, stride):
+    from lrzip_next_tpu.ops.matcher import TpuMatchJob
+    data = np.frombuffer(corpus_factory(300_000, "mixed"), np.uint8)
+    job = TpuMatchJob(data, stride=stride, select=True)
+    assert job.select
+    _replay_check(data, *job.collect())
+
+
+def test_select_path_interrupted_copies(corpus_factory):
+    """Device selection + host finalize must resync across interior
+    holes and keep near-walk match coverage on solid-repeat data."""
+    from lrzip_next_tpu.ops.matcher import TpuMatchJob
+    base = corpus_factory(200_000, "mixed")
+    rng = np.random.default_rng(5)
+    b = bytearray(base)
+    for off in range(5_000, 190_000, 23_000):
+        b[off:off + 8] = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
+    data = np.frombuffer(base + bytes(b) + base[:50_000], np.uint8)
+    sel_job = TpuMatchJob(data, stride=8, select=True)
+    sel_bytes = _replay_check(data, *sel_job.collect())
+    walk_job = TpuMatchJob(data, stride=8, select=False)
+    walk_bytes = _replay_check(data, *walk_job.collect())
+    assert sel_bytes >= 0.97 * walk_bytes, (sel_bytes, walk_bytes)
+
+
+def test_select_hole_fallback_on_dense_text(corpus_factory):
+    """Ubiquitous-small-distance text shadows alternative chains under
+    the prefix-max selection; the hole-rate trigger must fall back to
+    the heap walk and keep its coverage (and arm the walk hint for
+    same-shaped successors)."""
+    from lrzip_next_tpu.ops import matcher as M
+    base = corpus_factory(200_000, "text")
+    rng = np.random.default_rng(5)
+    b = bytearray(base)
+    for off in range(5_000, 190_000, 23_000):
+        b[off:off + 8] = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
+    data = np.frombuffer(base + bytes(b) + base[:50_000], np.uint8)
+    sel_job = M.TpuMatchJob(data, stride=8, select=True)
+    sel_tokens = sel_job.collect()
+    sel_bytes = _replay_check(data, *sel_tokens)
+    walk_job = M.TpuMatchJob(data, stride=8, select=False)
+    walk_tokens = walk_job.collect()
+    walk_bytes = _replay_check(data, *walk_tokens)
+    assert sel_bytes >= 0.97 * walk_bytes, (sel_bytes, walk_bytes)
+    # the fallback is a pure function of chunk content: the select-mode
+    # job's post-fallback tokens equal the walk path's exactly (the
+    # mesh/single-device byte-parity invariant)
+    for a, b in zip(sel_tokens, walk_tokens):
+        assert np.array_equal(a, b)
+
+
+def test_finalize_rejects_corrupt_pieces(corpus_factory):
+    """A lying selected piece (bad dist / non-matching span) must shrink
+    or vanish - never corrupt the replayed stream (the fingerprint-
+    collision safety net)."""
+    from lrzip_next_tpu.ops.matcher import finalize_selected
+    data = np.frombuffer(corpus_factory(100_000, "mixed"), np.uint8)
+    data = np.concatenate([data, data[:40_000]])
+    rng = np.random.default_rng(7)
+    starts = np.array([100_000, 110_000, 120_000], np.int64)
+    lens = np.array([5_000, 4_000, 6_000], np.int64)
+    dists = np.array([100_000, 777, 99_995], np.int64)  # mid one lies
+    kinds, out_l, out_d = finalize_selected(starts, lens, dists,
+                                            len(data), data)
+    _replay_check(data, kinds, out_l, out_d)
+
+
+def test_finalize_extends_and_merges(corpus_factory):
+    """Left/right extension: a piece clipped short of the true match
+    must grow back to the full span during finalize."""
+    from lrzip_next_tpu.ops.matcher import finalize_selected
+    base = np.frombuffer(corpus_factory(80_000, "text"), np.uint8)
+    data = np.concatenate([base, base])  # full 80K repeat at dist 80K
+    starts = np.array([85_000], np.int64)   # interior sliver only
+    lens = np.array([64], np.int64)
+    dists = np.array([80_000], np.int64)
+    kinds, out_l, out_d = finalize_selected(starts, lens, dists,
+                                            len(data), data)
+    m = np.asarray(kinds) == 1
+    assert int(np.asarray(out_l)[m].sum()) >= 75_000  # grew to ~full
+    _replay_check(data, kinds, out_l, out_d)
+
+
+def test_gap_merged_requires_data():
+    from lrzip_next_tpu.ops.matcher import greedy_cover_from_runs
+    with pytest.raises(ValueError):
+        greedy_cover_from_runs(np.array([0], np.int64),
+                               np.array([10], np.int64),
+                               np.array([0], np.int64), 1000,
+                               gap_merged=True)
