@@ -80,21 +80,32 @@ def bench_matcher_device(data: np.ndarray, stride: int = 8) -> float:
     reference's per-level hash insert frequency (src/rzip.c:67-82)."""
     import jax
     import jax.numpy as jnp
-    from lrzip_next_tpu.ops.matcher import (anchor_candidates_unordered,
-                                            _seed_compact_impl)
+    from lrzip_next_tpu.ops.matcher import (_CHAIN_GAP,
+                                            _seed_compact_dual_impl,
+                                            _verify_gap,
+                                            anchor_candidates_unordered,
+                                            select_records)
 
-    compact = _seed_compact_impl()  # Pallas kernel on real accelerators
+    dual = _seed_compact_dual_impl()  # Pallas kernel on accelerators
     dev = jnp.asarray(data)
     int(jnp.sum(dev[:1]))  # force upload (block_until_ready is async
     # under the axon remote backend; scalar readback is the sync)
     n = data.shape[0]
     m = n - 31
     kk = m // stride
-    cap = max(min(kk, 4096), kk // 64)
+    # steady-state production cap at this chunk size (the cap hints
+    # settle at the bucketed record count, ~450K at 64MB)
+    cap = min(kk, 1 << 19)
 
     def step_async():
+        # the production matcher stage: fingerprints/anchors, dual
+        # compaction (exact + coarse chains), device greedy selection
         pos, cand, ok = anchor_candidates_unordered(dev, stride)
-        return compact(pos, cand, ok, jnp.int32(m), cap, stride)[1]
+        fine, n_raw, coarse, n_w = dual(
+            pos, cand, ok, jnp.int32(m), cap, stride,
+            _verify_gap(stride), _CHAIN_GAP)
+        ss, sl, sd, n_sel = select_records(*fine, n_raw)
+        return n_sel
 
     int(step_async())  # compile + sync (scalar readback: the axon
     # remote backend's block_until_ready is async)

@@ -305,6 +305,20 @@ def _anchor_chain_masks(pos, cand, ok, limit, stride):
 _CHAIN_GAP = 1024
 
 
+def _verify_gap(stride: int) -> int:
+    """Chain gap for the device-selection path: consecutive same-dist
+    seeds whose positions differ by <= HASH_W have overlapping certified
+    windows, so the merged span is fingerprint-verified end to end -
+    which is what lets the prefix-max selection treat span ends as true
+    frontiers without shadowing other chains.  2*HASH_W admits <= 32
+    unverified interior bytes per junction (the host finalize resyncs
+    them) and was measured STRICTLY better than HASH_W at stride 8 on
+    the bench corpus: slightly more matched bytes (junction bytes that
+    do verify) at 12% fewer records.  Coarser strides space anchors up
+    to 2*stride-1 apart, so the gap widens with stride."""
+    return max(2 * HASH_W, 2 * stride)
+
+
 def _dist_sorted_seed_starts(pos, cand, ok, limit, stride,
                              gap: int = _CHAIN_GAP):
     """Chain start/end masks over seeds sorted by (dist, pos).
@@ -394,6 +408,102 @@ def _seed_compact_impl():
     return compact_seeds
 
 
+def _derive_coarse(ps_c, ds_c, pe_c, n_raw, gap_w: int):
+    """Coarse (gap_w-merged) chain records derived from fine compacted
+    records - cap-sized ops only, no second k-sized sort.
+
+    Fine records arrive in (dist, pos)-sorted order; a gap_w chain is
+    exactly a maximal run of same-dist fine records whose start-to-
+    previous-last-seed gaps are <= gap_w (consecutive seeds across a
+    record boundary are prev.end and next.start).  Returns position-
+    ordered records (pads at _I32_BIG) + count."""
+    cap = ps_c.shape[0]
+    idx = jax.lax.iota(jnp.int32, cap)
+    valid = idx < n_raw
+    prev_e = jnp.concatenate([jnp.full((1,), -_I32_BIG), pe_c[:-1]])
+    prev_d = jnp.concatenate([jnp.full((1,), jnp.int32(-1)), ds_c[:-1]])
+    prev_v = jnp.concatenate([jnp.zeros((1,), bool), valid[:-1]])
+    cont = (valid & prev_v & (ds_c == prev_d)
+            & (ps_c - prev_e <= jnp.int32(gap_w)))
+    seg_s = valid & ~cont
+    seg_e = valid & jnp.concatenate([~cont[1:], jnp.ones((1,), bool)])
+    n_w = jnp.sum(seg_s.astype(jnp.int32))
+    ks = jnp.where(seg_s, idx, _I32_BIG)
+    _, sw, dw = jax.lax.sort((ks, ps_c, ds_c), num_keys=1)
+    ke = jnp.where(seg_e, idx, _I32_BIG)
+    _, ew = jax.lax.sort((ke, pe_c), num_keys=1)
+    pw, pew, dww = _order_chains(sw, dw, ew, n_w, cap)
+    return (pw, pew, dww), n_w
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "stride", "gap_v", "gap_w"))
+def compact_seeds_dual(pos, cand, ok, limit, cap: int, stride: int,
+                       gap_v: int, gap_w: int):
+    """XLA dual compaction (CPU meshes and tests): position-ordered
+    chain records at BOTH the exact gap (gap_v, spans fingerprint-
+    verified end to end - the selection path's input) and the coarse
+    gap (gap_w - the heap walk's input), sharing the one k-sized
+    (dist, pos) sort.  Returns (fine, n_raw, coarse, n_w)."""
+    start, is_end, sp, sd = _dist_sorted_seed_starts(pos, cand, ok,
+                                                     limit, stride,
+                                                     gap_v)
+    n_raw = jnp.sum(start.astype(jnp.int32))
+    kk = pos.shape[0]
+    idxk = jax.lax.iota(jnp.int32, kk)
+    _, ps_c, ds_c = jax.lax.sort(
+        (jnp.where(start, idxk, _I32_BIG), sp, sd), num_keys=1)
+    _, pe_c = jax.lax.sort(
+        (jnp.where(is_end, idxk, _I32_BIG), sp), num_keys=1)
+    ps_c, ds_c, pe_c = ps_c[:cap], ds_c[:cap], pe_c[:cap]
+    coarse, n_w = _derive_coarse(ps_c, ds_c, pe_c,
+                                 jnp.minimum(n_raw, cap), gap_w)
+    fine = _order_chains(ps_c, ds_c, pe_c, n_raw, cap)
+    return fine, n_raw, coarse, n_w
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "stride", "gap_v", "gap_w"))
+def compact_seeds_dual_pallas(pos, cand, ok, limit, cap: int,
+                              stride: int, gap_v: int, gap_w: int):
+    from .compact_pallas import compact_masked_pallas
+    start, is_end, sp, sd = _dist_sorted_seed_starts(pos, cand, ok,
+                                                     limit, stride,
+                                                     gap_v)
+    # one kernel compacts starts AND ends (i-th start pairs with the
+    # i-th end: chains are contiguous segments in dist order); the
+    # dist column rides as the start-side payload
+    starts_c, ends_c, dists_c, n_raw = compact_masked_pallas(
+        start, is_end, sp, sd, cap)
+    coarse, n_w = _derive_coarse(starts_c, dists_c, ends_c,
+                                 jnp.minimum(n_raw, cap), gap_w)
+    fine = _order_chains(starts_c, dists_c, ends_c, n_raw, cap)
+    return fine, n_raw, coarse, n_w
+
+
+def _seed_compact_dual_impl():
+    if jax.devices()[0].platform != "cpu":
+        return compact_seeds_dual_pallas
+    return compact_seeds_dual
+
+
+@jax.jit
+def _selected_coverage(ps, pe, ds, n_raw):
+    """Total bytes the prefix-max selection would cover over ordered
+    records - the scalar the select/walk arbitration compares between
+    the exact (gap_v) and coarse (gap_w) chainings."""
+    cap = ps.shape[0]
+    idx = jax.lax.iota(jnp.int32, cap)
+    valid = (idx < n_raw) & (ps < _I32_BIG)
+    e_full = jnp.where(valid, pe + jnp.int32(HASH_W), jnp.int32(-1))
+    run_max = jax.lax.associative_scan(jnp.maximum, e_full)
+    frontier = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), run_max[:-1]])
+    plen = e_full - jnp.maximum(ps, frontier)
+    sel = valid & (e_full > frontier) & (plen >= jnp.int32(MINIMUM_MATCH))
+    return jnp.sum(jnp.where(sel, plen, 0))
+
+
 def default_anchor_stride(rzip_level: int) -> int:
     """Map the reference's 1-9 rzip effort dial (src/rzip.c:67-82) to an
     anchor sampling stride.  Level 9 uses stride-2 anchors: detectable
@@ -476,11 +586,12 @@ def _fetch_bucket(k: int, hi: int) -> int:
     """Quarter-step bucket for the record readback: the transfer is
     ~25MB/s through the tunnel, so power-of-two padding (up to 2x the
     live rows) costs real milliseconds; quarter steps cap the waste at
-    25% for ~2 extra jit cache entries per octave."""
+    25% for ~2 extra jit cache entries per octave.  Always even (the
+    16-bit packer bitcasts u16 pairs into int32 words)."""
     if k <= 4096:
-        return min(4096, hi)
+        return min(4096, hi) & ~1
     q = 1 << (int(k - 1).bit_length() - 2)
-    return min(-(-k // q) * q, hi)
+    return min(-(-k // q) * q, hi) & ~1
 
 
 def _fetch_compacted(starts, ends, srcs, k: int):
@@ -577,35 +688,146 @@ def select_records(ps, pe, ds, n_raw):
 
 
 @functools.partial(jax.jit, static_argnames=("fetch_cap",))
-def _pack_selected(ss, sl, sd, n_sel, n_raw, fetch_cap: int):
+def _pack_selected(ss, sl, sd, n_sel, n_raw, cov_w, fetch_cap: int):
     """Delta-pack selected pieces for ONE counted readback (see
     _pack_seeds for why: wire compression on small-valued columns, and
-    the count rides as elements 0-1 so no separate sync RTT).  Element
-    1 carries n_raw so a compaction-cap overflow is detected from the
-    same transfer."""
+    the counts ride as header elements so no separate sync RTT).
+    Header: [n_sel, n_raw (compaction-cap overflow detection), cov_v
+    (bytes the exact-span selection covers), cov_w (bytes the coarse-
+    chain selection would cover - the walk-fallback arbitration
+    signal)]."""
     live = jax.lax.iota(jnp.int32, fetch_cap) < n_sel
     s = jnp.where(live, ss[:fetch_cap], 0)
     l = jnp.where(live, sl[:fetch_cap], 0)
     d = jnp.where(live, sd[:fetch_cap], 0)
     d0 = jnp.concatenate([s[:1], jnp.diff(s)])
-    return jnp.concatenate([
-        jnp.reshape(n_sel, (1,)).astype(jnp.int32),
-        jnp.reshape(n_raw, (1,)).astype(jnp.int32),
-        d0, l, d])
+    cov_v = jnp.sum(jnp.where(
+        jax.lax.iota(jnp.int32, sl.shape[0]) < n_sel, sl, 0))
+    hdr = jnp.stack([n_sel.astype(jnp.int32), n_raw.astype(jnp.int32),
+                     cov_v.astype(jnp.int32), cov_w.astype(jnp.int32)])
+    return jnp.concatenate([hdr, d0, l, d])
 
 
-def _fetch_selected_counted(ss, sl, sd, n_sel, n_raw, fetch_cap: int):
-    """One-transfer fetch -> (n_sel, n_raw, starts, lens, dists)."""
+# Exceptions channel capacity for the 16-bit packed readback: tokens
+# whose start-delta/len exceed 16 bits or whose dist-delta exceeds 15
+# bits ship their full int32 values here.  Overflow (pathologically
+# jumpy chunks) falls back to the plain int32 packer for that chunk.
+_EXC_CAP = 2048
+
+
+@functools.partial(jax.jit, static_argnames=("fetch_cap",))
+def _pack_selected16(ss, sl, sd, n_sel, n_raw, cov_w, fetch_cap: int):
+    """16-bit packed variant of _pack_selected: 6 bytes/token on the
+    wire (u16 start-delta, u16 len, i16 dist-delta) instead of 12 -
+    the readback shares the tunnel with every dispatch/sync round
+    trip, so wire bytes translate directly into pipeline latency.
+    Rare wide values ride the exceptions channel (idx, start, len,
+    dist as full int32s; count in the header).
+
+    Layout (int32 words): [n_sel, n_raw, cov_v, cov_w, n_exc, 0]
+    then 3*fetch_cap/2 words of bitcast u16/i16 columns (ds16, l16,
+    dd16), then 4*_EXC_CAP exception words."""
     fc = fetch_cap
-    flat = np.asarray(jax.device_get(
-        _pack_selected(ss, sl, sd, n_sel, n_raw, fc)))
+    live = jax.lax.iota(jnp.int32, fc) < n_sel
+    s = jnp.where(live, ss[:fc], 0)
+    l = jnp.where(live, sl[:fc], 0)
+    d = jnp.where(live, sd[:fc], 0)
+    ds = jnp.concatenate([s[:1], jnp.diff(s)])
+    dd = jnp.concatenate([d[:1], jnp.diff(d)])
+    exc = live & ((ds > 65535) | (l > 65535)
+                  | (dd > 32766) | (dd < -32766))
+    n_exc = jnp.sum(exc.astype(jnp.int32))
+    ds16 = jnp.where(exc, 0, ds).astype(jnp.uint16)
+    l16 = jnp.where(exc, 0, l).astype(jnp.uint16)
+    dd16 = jnp.where(exc, 0, dd).astype(jnp.int16).astype(jnp.uint16)
+    body = jnp.concatenate([ds16, l16, dd16])
+    body32 = jax.lax.bitcast_convert_type(
+        body.reshape(-1, 2), jnp.int32).reshape(-1)
+    idx = jax.lax.iota(jnp.int32, fc)
+    key = jnp.where(exc, idx, _I32_BIG)
+    _, ei, es, el, ed = jax.lax.sort((key, idx, s, l, d), num_keys=1)
+    ec = min(fc, _EXC_CAP)
+    exc_flat = jnp.concatenate([ei[:ec], es[:ec], el[:ec], ed[:ec]])
+    cov_v = jnp.sum(jnp.where(
+        jax.lax.iota(jnp.int32, sl.shape[0]) < n_sel, sl, 0))
+    hdr = jnp.stack([n_sel.astype(jnp.int32), n_raw.astype(jnp.int32),
+                     cov_v.astype(jnp.int32), cov_w.astype(jnp.int32),
+                     n_exc, jnp.int32(0)])
+    return jnp.concatenate([hdr, body32, exc_flat])
+
+
+def _unpack_selected16(flat: np.ndarray, fetch_cap: int):
+    """Host half of _pack_selected16 -> (n_sel, n_raw, covs, starts,
+    lens, dists) or None when the exceptions channel overflowed."""
+    fc = fetch_cap
     k = int(flat[0])
     kraw = int(flat[1])
+    covs = (int(flat[2]), int(flat[3]))
+    n_exc = int(flat[4])
+    ec = min(fc, _EXC_CAP)
+    if n_exc > ec:
+        return None
     kk = min(k, fc)
-    s = np.cumsum(flat[2:2 + kk].astype(np.int64))
-    ln = flat[2 + fc:2 + fc + kk].astype(np.int64)
-    d = flat[2 + 2 * fc:2 + 2 * fc + kk].astype(np.int64)
-    return k, kraw, s, ln, d
+    body = flat[6:6 + (3 * fc) // 2].view(np.uint16)
+    ds = body[:fc][:kk].astype(np.int64)
+    ln = body[fc:2 * fc][:kk].astype(np.int64)
+    dd = body[2 * fc:3 * fc][:kk].astype(np.int16).astype(np.int64)
+    off = 6 + (3 * fc) // 2
+    ei = flat[off:off + n_exc].astype(np.int64)
+    es = flat[off + ec:off + ec + n_exc].astype(np.int64)
+    el = flat[off + 2 * ec:off + 2 * ec + n_exc].astype(np.int64)
+    ed = flat[off + 3 * ec:off + 3 * ec + n_exc].astype(np.int64)
+    s = np.cumsum(ds)
+    d = np.cumsum(dd)
+    if n_exc:
+        keep = ei < kk
+        ei, es, el, ed = ei[keep], es[keep], el[keep], ed[keep]
+        ln[ei] = el
+        # delta chains restart at each exception's absolute value:
+        # accumulate the corrections left to right (n_exc is small)
+        corr_s = np.zeros(kk + 1, np.int64)
+        corr_d = np.zeros(kk + 1, np.int64)
+        run_s = run_d = 0
+        for j in range(len(ei)):
+            i = int(ei[j])
+            ds_j = es[j] - (s[i] + run_s)
+            dd_j = ed[j] - (d[i] + run_d)
+            corr_s[i] += ds_j
+            corr_d[i] += dd_j
+            run_s += ds_j
+            run_d += dd_j
+        s = s + np.cumsum(corr_s[:kk])
+        d = d + np.cumsum(corr_d[:kk])
+    return k, kraw, covs, s, ln, d
+
+
+def _fetch_selected_counted(ss, sl, sd, n_sel, n_raw, cov_w,
+                            fetch_cap: int, packed=None):
+    """One-transfer fetch -> (n_sel, n_raw, cov_v, cov_w, starts,
+    lens, dists).  Uses the 6-byte/token 16-bit packing; a chunk whose
+    exceptions overflow refetches through the plain int32 packer.
+    ``packed`` accepts a pre-dispatched _pack_selected16 array whose
+    D2H copy was started with copy_to_host_async() - the transfer then
+    rides under later device work instead of blocking the collect
+    (measured: a 2MB readback drops ~70ms -> ~0.3ms when prefetched)."""
+    fc = fetch_cap
+    if packed is None:
+        packed = _pack_selected16(ss, sl, sd, n_sel, n_raw, cov_w, fc)
+    flat = np.asarray(jax.device_get(packed))
+    res = _unpack_selected16(flat, fc)
+    if res is not None:
+        return res
+    # exceptions channel overflow: plain int32 refetch for this chunk
+    flat = np.asarray(jax.device_get(
+        _pack_selected(ss, sl, sd, n_sel, n_raw, cov_w, fc)))
+    k = int(flat[0])
+    kraw = int(flat[1])
+    covs = (int(flat[2]), int(flat[3]))
+    kk = min(k, fc)
+    s = np.cumsum(flat[4:4 + kk].astype(np.int64))
+    ln = flat[4 + fc:4 + fc + kk].astype(np.int64)
+    d = flat[4 + 2 * fc:4 + 2 * fc + kk].astype(np.int64)
+    return k, kraw, covs, s, ln, d
 
 
 def finalize_selected(starts: np.ndarray, lens: np.ndarray,
@@ -870,7 +1092,7 @@ class TpuMatchJob:
         self.select = select and stride > 1
         if stride > 1:
             k = m // stride
-            gap = _CHAIN_GAP
+            gap_v = _verify_gap(stride)
             hkey = (nb, stride)
             # the compaction merge gathers cap elements (~41ns each on
             # TPU), so a tight cap matters; overflow redoes at the next
@@ -885,18 +1107,35 @@ class TpuMatchJob:
                 self.cap = min(_bucket_cap(hint, k), k)
             self.hkey = hkey
             pos, cand, ok = anchor_candidates_unordered(dev, stride)
-            self.compacted = _seed_compact_impl()(
+            dual = _seed_compact_dual_impl()
+            fine, n_raw, coarse, n_w = dual(
                 pos, cand, ok, jnp.int32(self.limit), self.cap, stride,
-                gap)
-            self.redo = lambda c: _seed_compact_impl()(
-                pos, cand, ok, jnp.int32(self.limit),
-                _bucket_cap(c, k), stride, gap)
+                gap_v, _CHAIN_GAP)
+            self.compacted = (fine, n_raw)
+            self.coarse = (coarse, n_w)
+
+            def redo(c):
+                f2, nr2, c2, nw2 = dual(
+                    pos, cand, ok, jnp.int32(self.limit),
+                    _bucket_cap(c, k), stride, gap_v, _CHAIN_GAP)
+                self.coarse = (c2, nw2)
+                return f2, nr2
+
+            self.redo = redo
             if self.select:
-                records, n_raw = self.compacted
-                self.selected = select_records(*records, n_raw)
+                self.selected = select_records(*fine, n_raw)
+                self.cov_w = _selected_coverage(*coarse, n_w)
                 shint = _SEL_HINTS.get(hkey)
                 self.fetch_cap = _fetch_bucket(
                     shint if shint else 8192, self.cap)
+                # dispatch the packed readback NOW and start its D2H
+                # copy: by collect() time the bytes are host-side
+                self._packed = _pack_selected16(
+                    *self.selected, n_raw, self.cov_w, self.fetch_cap)
+                try:
+                    self._packed.copy_to_host_async()
+                except AttributeError:
+                    pass
         else:
             cand, ok = match_candidates(dev)
             self.cap = max(min(m, 4096), m // 64)
@@ -906,27 +1145,33 @@ class TpuMatchJob:
                 cand, ok, jnp.int32(self.limit), _bucket_cap(c, m))
 
     def _collect_walk(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Full-record fetch + heap-walk greedy (the round-4 path):
-        chain records (start, end, dist) delta-packed; count + records
-        arrive in one readback.  Used directly in walk mode and as the
-        select path's hole-rate fallback."""
-        records, n_raw = self.compacted
+        """Coarse-record fetch + heap-walk greedy (the round-4 path):
+        gap_w chain records (start, end, dist) delta-packed; count +
+        records arrive in one readback.  Used directly in walk mode and
+        as the select path's coverage-gap fallback.
+
+        The compaction-cap overflow check keys off the FINE record
+        count (coarse records are merges of fine ones, so a truncated
+        fine set implies a truncated coarse set)."""
+        records, n_w = self.coarse
+        _, n_raw = self.compacted
         key = self.hkey
         hint = _CAP_HINTS.get(key)
         fetch_cap = _fetch_bucket(hint if hint else 8192, self.cap)
         k, rs, re, src = _fetch_seeds_counted(
-            *records, n_raw, fetch_cap)
-        if k > self.cap:   # chain overflow: redo at a bigger cap
-            records, n_raw = self.redo(k)
-            self.compacted = records, n_raw
+            *records, n_w, fetch_cap)
+        kraw = int(jax.device_get(n_raw))
+        if kraw > self.cap:   # chain overflow: redo at a bigger cap
+            self.compacted = self.redo(kraw)
+            records, n_w = self.coarse
             self.cap = int(records[0].shape[0])
             fetch_cap = self.cap
             k, rs, re, src = _fetch_seeds_counted(
-                *records, n_raw, fetch_cap)
+                *records, n_w, fetch_cap)
         elif k > fetch_cap:  # count > window: refetch bigger
             fetch_cap = _fetch_bucket(k, self.cap)
             k, rs, re, src = _fetch_seeds_counted(
-                *records, n_raw, fetch_cap)
+                *records, n_w, fetch_cap)
         k = min(k, fetch_cap)
         _update_hint(_CAP_HINTS, key, k)
         rs, re, src = rs[:k], re[:k], src[:k]
@@ -953,9 +1198,12 @@ class TpuMatchJob:
             # token columns (KBs); host byte-verifies + extends
             ss, sl, sd, n_sel = self.selected
             _, n_raw = self.compacted
+            packed = getattr(self, "_packed", None)
             for _ in range(4):
-                k, kraw, s, ln, d = _fetch_selected_counted(
-                    ss, sl, sd, n_sel, n_raw, self.fetch_cap)
+                k, kraw, covs, s, ln, d = _fetch_selected_counted(
+                    ss, sl, sd, n_sel, n_raw, self.cov_w,
+                    self.fetch_cap, packed=packed)
+                packed = None  # refetches repack at the new cap
                 if kraw > self.cap:
                     # record-cap overflow: selection saw truncated
                     # records; redo compaction + selection at a
@@ -965,7 +1213,10 @@ class TpuMatchJob:
                     self.cap = int(records[0].shape[0])
                     self.selected = select_records(*records, n_raw)
                     ss, sl, sd, n_sel = self.selected
-                    self.fetch_cap = min(self.fetch_cap, self.cap)
+                    self.cov_w = _selected_coverage(*self.coarse[0],
+                                                    self.coarse[1])
+                    self.fetch_cap = min(self.fetch_cap,
+                                         self.cap) & ~1
                     continue
                 if k > self.fetch_cap:  # count > window: refetch
                     self.fetch_cap = _fetch_bucket(k, self.cap)
@@ -974,25 +1225,25 @@ class TpuMatchJob:
             k = min(k, self.fetch_cap)
             _update_hint(_CAP_HINTS, self.hkey, kraw)
             _update_hint(_SEL_HINTS, self.hkey, k)
-            holes: list = []
-            kinds, lengths, dists = finalize_selected(
-                s[:k], ln[:k], d[:k], self.n, self.data,
-                hole_out=holes)
-            m = kinds == 1
-            match_bytes = int(lengths[m].sum())
-            hole_bytes = holes[0] if holes else 0
-            if hole_bytes > max(match_bytes // 16, self.n // 256):
-                # hole-dense spans: the prefix-max selection shadowed
-                # alternative chains (ubiquitous-dist text).  Fall back
-                # to the full-record heap walk for this chunk (records
-                # are still on device - only the bigger fetch is
-                # repaid).  The trigger is a pure function of chunk
-                # content, so mesh and single-device paths stay
-                # byte-identical.
+            cov_v, cov_w = covs
+            if cov_w - cov_v > max(cov_w // 4, self.n // 256):
+                # the coarse (gap_w) chains would cover substantially
+                # more than the exact (gap_v) spans: densely
+                # interleaved redundancy (word-soup text) where the
+                # heap walk's multi-chain resync wins.  Fall back for
+                # this chunk (coarse records are still on device -
+                # only the bigger fetch is repaid).  The trigger is a
+                # pure function of chunk content, so mesh and
+                # single-device paths stay byte-identical.
                 kinds, lengths, dists = self._collect_walk()
                 m = kinds == 1
                 match_bytes = int(lengths[m].sum())
                 kraw = self.stats.get("chains", kraw)
+            else:
+                kinds, lengths, dists = finalize_selected(
+                    s[:k], ln[:k], d[:k], self.n, self.data)
+                m = kinds == 1
+                match_bytes = int(lengths[m].sum())
             self.stats = {
                 "chunk_bytes": self.n,
                 "chains": kraw,

@@ -114,21 +114,27 @@ def _batched_seed_fn(mesh: Mesh, stride: int, cap: int):
     def one(chunk, limit):
         if stride > 1:
             pos, cand, ok = matcher.anchor_candidates(chunk, stride)
-            recs, n_raw = matcher.compact_seeds(
-                pos, cand, ok, limit, cap, stride)
-            # device greedy selection (round 5): the readback shrinks
-            # to the selected token columns; records ride along for
-            # the hole-rate walk fallback (srcs derived host-side
-            # from the dist column)
-            ss, sl, sd, n_sel = matcher.select_records(*recs, n_raw)
-            return recs + (n_raw,) + (ss, sl, sd, n_sel)
+            # dual compaction + device greedy selection (round 5):
+            # exact-gap records feed the prefix-max selection, coarse
+            # records feed the walk fallback; coverage scalars
+            # arbitrate - same graph as the single-device TpuMatchJob,
+            # so archives stay byte-identical
+            fine, n_raw, coarse, n_w = matcher.compact_seeds_dual(
+                pos, cand, ok, limit, cap, stride,
+                matcher._verify_gap(stride), matcher._CHAIN_GAP)
+            ss, sl, sd, n_sel = matcher.select_records(*fine, n_raw)
+            cov_v = jnp.sum(jnp.where(
+                jax.lax.iota(jnp.int32, sl.shape[0]) < n_sel, sl, 0))
+            cov_w = matcher._selected_coverage(*coarse, n_w)
+            return coarse + (n_w, n_raw, ss, sl, sd, n_sel,
+                             cov_v, cov_w)
         cand, ok = matcher.match_candidates(chunk)
         s, e, c, n_runs = matcher.compact_runs(cand, ok, limit, cap)
         return (s, e, c, n_runs)
 
     out_sh = (osh, osh, osh, nsh)
     if stride > 1:
-        out_sh = out_sh + (osh, osh, osh, nsh)
+        out_sh = out_sh + (nsh, osh, osh, osh, nsh, nsh, nsh)
     return jax.jit(jax.vmap(one),
                    in_shardings=(dsh, lsh),
                    out_shardings=out_sh)
@@ -205,13 +211,16 @@ class MeshMatchBatch:
         if self._fetched is None:
             arrs = self.compacted
             tri = np.asarray(jax.device_get(jnp.stack(arrs[:3])))
-            n_raw = np.asarray(jax.device_get(arrs[3]))
+            n_cnt = np.asarray(jax.device_get(arrs[3]))
             if len(arrs) > 4:  # stride>1: device-selected pieces too
-                sel = np.asarray(jax.device_get(jnp.stack(arrs[4:7])))
-                n_sel = np.asarray(jax.device_get(arrs[7]))
+                n_raw = np.asarray(jax.device_get(arrs[4]))
+                sel = np.asarray(jax.device_get(jnp.stack(arrs[5:8])))
+                n_sel = np.asarray(jax.device_get(arrs[8]))
+                covs = (np.asarray(jax.device_get(arrs[9])),
+                        np.asarray(jax.device_get(arrs[10])))
             else:
-                sel = n_sel = None
-            self._fetched = (tri, n_raw, sel, n_sel)
+                n_raw, sel, n_sel, covs = n_cnt, None, None, None
+            self._fetched = (tri, n_cnt, n_raw, sel, n_sel, covs)
         return self._fetched
 
     def collect(self, i: int):
@@ -227,9 +236,9 @@ class MeshMatchBatch:
                         np.zeros(0, np.int64))
             return (np.array([0], np.uint8), np.array([n], np.int64),
                     np.array([0], np.int64))
-        tri, n_runs, sel, n_sel = self._fetch()
-        k = int(n_runs[i])
-        if k > self.cap:
+        tri, n_cnt, n_raw, sel, n_sel, covs = self._fetch()
+        k = int(n_cnt[i])
+        if int(n_raw[i]) > self.cap:
             # rare overflow: redo this chunk through the single-device
             # job, whose bucketed-cap retry is the same one the
             # non-mesh pipeline would have taken (byte-identical).
@@ -241,19 +250,17 @@ class MeshMatchBatch:
         kinds = None
         if sel is not None:
             # device-selected pieces + host finalize, exactly as the
-            # single-device select path (same hole-rate fallback, a
+            # single-device select path (same coverage-gap fallback, a
             # pure function of chunk content - archives byte-match)
-            ks = int(n_sel[i])
-            holes: list = []
-            kinds, lengths, dists = matcher.finalize_selected(
-                sel[0, i, :ks].astype(np.int64),
-                sel[1, i, :ks].astype(np.int64),
-                sel[2, i, :ks].astype(np.int64), n, data,
-                hole_out=holes)
-            mm = kinds == 1
-            mb = int(lengths[mm].sum())
-            if holes and holes[0] > max(mb // 16, n // 256):
-                kinds = None  # hole-dense: heap walk below
+            cov_v, cov_w = int(covs[0][i]), int(covs[1][i])
+            if cov_w - cov_v > max(cov_w // 4, n // 256):
+                pass  # dense interleaved redundancy: heap walk below
+            else:
+                ks = int(n_sel[i])
+                kinds, lengths, dists = matcher.finalize_selected(
+                    sel[0, i, :ks].astype(np.int64),
+                    sel[1, i, :ks].astype(np.int64),
+                    sel[2, i, :ks].astype(np.int64), n, data)
         if kinds is None:
             rs = tri[0, i, :k].astype(np.int64)
             re = tri[1, i, :k].astype(np.int64)

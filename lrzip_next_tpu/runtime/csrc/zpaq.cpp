@@ -2488,6 +2488,10 @@ static void encode_bwt_block(const U8* data, int64_t n, Sink& out) {
     while (((int64_t)1 << pm) < n + 8) pm++;
     int ph = 9;
     while (((int64_t)1 << ph) < n + 300) ph++;
+    // order-1 ICM + order-2 ISSE.  An order-3 ISSE extension was
+    // measured (round 5): +1% text ratio for -60% encode speed - BWT
+    // output is rank/run structured, not deep-byte-context
+    // conditioned, so deeper ISSEs buy almost nothing; rejected.
     const U8 comp[] = {ICM, 16, ISSE, 17, 0};
     const U8 hcomp[] = {
         17, 104, 74, 4,      // C++; *C=A; B=C; A=0
@@ -2725,10 +2729,18 @@ static int64_t encode_stream(Source& in, Sink& out, int level, int bs,
         if (half < (1 << 20)) half = 1 << 20;
         if (half < block_cap) block_cap = half;
     }
-    // model size scales with level and block size
+    // model size scales with level and block size, then CONTINUOUSLY
+    // with the lz4-gate redundancy measurement (libzpaq derives its
+    // component sizes from block size + measured redundancy/type,
+    // libzpaq.cpp:7545-7731; lrzip feeds the measurement at
+    // src/stream.c:304-309): hard data gets bigger context tables
+    // (+1..+2 bits), easy data smaller and faster ones (-1..-2) -
+    // its contexts repeat, so small hashes already capture them
     int sb = 16 + (level >= 4) + 2 * (level >= 5);
     if (bs < 5) sb -= (5 - bs);
+    sb += (128 - redundancy) / 48;   // -2 .. +2, continuous in rd
     if (sb < 10) sb = 10;
+    if (sb > 21) sb = 21;
     const bool text = ttype == 1;
 
     std::vector<std::pair<int64_t, int64_t>> blocks;

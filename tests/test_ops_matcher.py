@@ -351,3 +351,48 @@ def test_gap_merged_requires_data():
                                np.array([10], np.int64),
                                np.array([0], np.int64), 1000,
                                gap_merged=True)
+
+
+def test_pack16_fetch_roundtrip_exact():
+    """The 6-byte/token packed readback must reproduce starts/lens/
+    dists exactly, including exception tokens (wide start gaps, long
+    pieces, dist jumps) interleaved with narrow ones."""
+    import jax.numpy as jnp
+    from lrzip_next_tpu.ops import matcher as M
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        k = int(rng.integers(5, 300))
+        fc = 512
+        gaps = rng.integers(0, 200_000, k)  # many exceed u16
+        lens = rng.integers(31, 150_000, k)
+        starts = np.cumsum(gaps + lens) - lens
+        dists = rng.integers(1, 1 << 25, k)
+        ss = np.full(fc, 0x7FFFFFF0, np.int32)
+        sl = np.zeros(fc, np.int32)
+        sd = np.zeros(fc, np.int32)
+        ss[:k] = starts; sl[:k] = lens; sd[:k] = dists
+        out = M._fetch_selected_counted(
+            jnp.asarray(ss), jnp.asarray(sl), jnp.asarray(sd),
+            jnp.int32(k), jnp.int32(k), jnp.int32(12345), fc)
+        k2, kraw, covs, s, ln, d = out
+        assert k2 == k and kraw == k
+        assert covs == (int(lens.sum()), 12345)
+        assert np.array_equal(s, starts)
+        assert np.array_equal(ln, lens)
+        assert np.array_equal(d, dists)
+
+
+def test_pack16_narrow_values_no_exceptions():
+    import jax.numpy as jnp
+    from lrzip_next_tpu.ops import matcher as M
+    k, fc = 64, 128
+    starts = np.cumsum(np.full(k, 100))
+    lens = np.full(k, 40)
+    dists = np.full(k, 777)
+    ss = np.full(fc, 0x7FFFFFF0, np.int32)
+    sl = np.zeros(fc, np.int32); sd = np.zeros(fc, np.int32)
+    ss[:k] = starts; sl[:k] = lens; sd[:k] = dists
+    k2, kraw, covs, s, ln, d = M._fetch_selected_counted(
+        jnp.asarray(ss), jnp.asarray(sl), jnp.asarray(sd),
+        jnp.int32(k), jnp.int32(k), jnp.int32(0), fc)
+    assert np.array_equal(s, starts) and np.array_equal(d, dists)

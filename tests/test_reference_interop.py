@@ -203,7 +203,7 @@ def test_zpaq_bwt_decodes_with_libzpaq(zpaq_ref):
     assert dest.raw[:dlen.value] == data
 
 
-@pytest.mark.parametrize("redundancy,ttype", [(200, 1), (128, 0)])
+@pytest.mark.parametrize("redundancy,ttype", [(200, 1), (128, 0), (48, 0), (255, 1)])
 def test_zpaq_adaptive_models_decode_with_libzpaq(zpaq_ref, redundancy,
                                                   ttype):
     """Level-5 adaptive models (word-context ICM/ISSE for text, periodic

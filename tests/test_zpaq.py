@@ -166,3 +166,18 @@ def test_adaptive_defaults_match_neutral(corpus_factory):
     data = corpus_factory(50_000, "mixed")
     assert runtime.zpaq_encode(data, 4, 6) == \
         runtime.zpaq_encode(data, 4, 6, 128, 0)
+
+
+def test_continuous_redundancy_sizes(corpus_factory):
+    """Component table sizes derive CONTINUOUSLY from the lz4-gate
+    redundancy measurement (the libzpaq method-builder role,
+    libzpaq.cpp:7545-7731): distinct redundancy readings must emit
+    distinct COMP size bytes at level 5, and every variant must
+    round-trip."""
+    data = corpus_factory(80_000, "mixed")
+    headers = set()
+    for rd in (48, 100, 128, 200, 255):
+        c = runtime.zpaq_encode(data, 5, 6, rd, 0)
+        assert runtime.zpaq_decode(c, len(data)) == data
+        headers.add(bytes(c[:160]))
+    assert len(headers) >= 3, "sizes did not vary with redundancy"

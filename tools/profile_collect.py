@@ -43,8 +43,8 @@ for rep in range(3):
     t1 = time.time()
     ss, sl, sd, n_sel = job.selected
     _, n_raw = job.compacted
-    k, kraw, s, ln, d = _fetch_selected_counted(
-        ss, sl, sd, n_sel, n_raw, job.fetch_cap)
+    k, kraw, covs, s, ln, d = _fetch_selected_counted(
+        ss, sl, sd, n_sel, n_raw, job.cov_w, job.fetch_cap)
     t2 = time.time()
     holes = []
     kinds, lengths, dists = finalize_selected(
@@ -52,7 +52,8 @@ for rep in range(3):
     t3 = time.time()
     mb = int(lengths[kinds == 1].sum())
     print(f"rep{rep} SELECT: dispatch {1e3*(t1-t0):.1f}ms"
-          f" | n_sel={k} kraw={kraw} fetch(+wait) {1e3*(t2-t1):.1f}ms"
+          f" | n_sel={k} kraw={kraw} covs={covs}"
+          f" fetch(+wait) {1e3*(t2-t1):.1f}ms"
           f" | finalize {1e3*(t3-t2):.1f}ms holes="
           f"{holes[0] if holes else 0} matched={mb}"
           f" | total {1e3*(t3-t0):.1f}ms", flush=True)
