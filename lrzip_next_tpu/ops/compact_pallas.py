@@ -203,6 +203,68 @@ def compact_masked_pallas(start: jnp.ndarray, is_end: jnp.ndarray,
     return starts, ends, cands, n_runs
 
 
+def _compact_kernel3(start_ref, a_ref, b_ref, c_ref,
+                     out_a_ref, out_b_ref, out_c_ref):
+    """Starts-only compaction of THREE int32 payloads in one pass -
+    used by the dual-chain matcher path, whose chain ends arrive as a
+    per-start payload (dense segmented-end scan) instead of a second
+    mask, halving the kernel passes and collapsing the cross-tile
+    merge to a single stacked gather."""
+    start = start_ref[0].astype(jnp.int32)
+    a = a_ref[0]
+    b = b_ref[0]
+    c = c_ref[0]
+    pa, pb, pc = _compact_tile(start, [a, b, c])
+    out_a_ref[0] = pa
+    out_b_ref[0] = pb
+    out_c_ref[0] = pc
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def compact_starts3_pallas(start: jnp.ndarray, a: jnp.ndarray,
+                           b: jnp.ndarray, c: jnp.ndarray, cap: int,
+                           interpret: bool = False):
+    """Masked compaction of three payload arrays at ``start`` positions
+    -> (a_c, b_c, c_c, n) dense cap-sized arrays.  The cross-tile merge
+    stacks the three tile outputs and performs ONE row gather (measured
+    2x cheaper than three element gathers at cap 512K on v5e)."""
+    m = a.shape[0]
+    mb = ((m + T - 1) // T) * T
+    n = jnp.sum(start.astype(jnp.int32))
+
+    pad = mb - m
+    nb = mb // T
+    start_m = jnp.pad(start, (0, pad)).astype(jnp.int8).reshape(
+        nb, _R, _L)
+    a_p = jnp.pad(a, (0, pad)).reshape(nb, _R, _L)
+    b_p = jnp.pad(b, (0, pad)).reshape(nb, _R, _L)
+    c_p = jnp.pad(c, (0, pad)).reshape(nb, _R, _L)
+    counts = jnp.sum(start_m.astype(jnp.int32), axis=(1, 2))
+    cum = jnp.cumsum(counts)
+
+    spec = pl.BlockSpec((1, _R, _L), lambda bi: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tile_shape = jax.ShapeDtypeStruct((nb, _R, _L), jnp.int32)
+    ta, tb, tc = pl.pallas_call(
+        _compact_kernel3,
+        grid=(nb,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[tile_shape] * 3,
+        interpret=interpret,
+    )(start_m, a_p, b_p, c_p)
+
+    stacked = jnp.stack([ta, tb, tc], axis=-1)  # (nb, R, L, 3)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    marks = jnp.zeros((cap + 1,), jnp.int32).at[
+        jnp.minimum(cum, cap)].add(1, mode="drop")
+    bc = jnp.minimum(jnp.cumsum(marks[:cap]), nb - 1)
+    prev = jnp.where(bc > 0, cum[jnp.maximum(bc - 1, 0)], 0)
+    slot = jnp.clip(j - prev, 0, T - 1)
+    merged = stacked[bc, slot // _L, slot % _L, :]  # one row gather
+    return merged[:, 0], merged[:, 1], merged[:, 2], n
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "interpret"))
 def compact_starts_pallas(start: jnp.ndarray, pos: jnp.ndarray,
                           cand: jnp.ndarray, cap: int,

@@ -131,8 +131,15 @@ def _extract_strided_u16(x16: jnp.ndarray, stride: int) -> jnp.ndarray:
     lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128 // stride), 0)
     out = jax.lax.broadcasted_iota(jnp.int32, (128, 128 // stride), 1)
     sel = (lane == out * stride).astype(jnp.float32)
+    # precision=HIGHEST is LOAD-BEARING: the TPU default lowers f32
+    # matmuls to bf16 MXU passes, whose 8-bit significand silently
+    # rounds 16-bit operand values - that corrupted extracted anchor
+    # columns/fp-checks on the real chip for four rounds (CPU tests
+    # can never see it) and shattered the long chains the selection
+    # and walk paths both depend on
     y = jax.lax.dot_general(xm, sel, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     return y.astype(jnp.int32).reshape(-1)
 
 
@@ -408,6 +415,27 @@ def _seed_compact_impl():
     return compact_seeds
 
 
+def _seg_end_copy(vals, is_end):
+    """result[i] = vals at the first is_end position >= i (a reverse
+    segmented copy).  Log-shift doubling with static slices/selects -
+    NOT associative_scan: a reverse tuple-scan at the 64MB bucket costs
+    >30 min of remote XLA compile (the round-3 finding that shaped the
+    compaction kernel); this form compiles in seconds and runs as ~2
+    log-passes of dense HBM traffic.  Elements past the last flag hold
+    zeros - callers only read positions inside segments."""
+    v = jnp.where(is_end, vals, jnp.zeros((), vals.dtype))
+    f = is_end
+    nn = vals.shape[0]
+    step = 1
+    while step < nn:
+        vs = jnp.concatenate([v[step:], jnp.zeros((step,), v.dtype)])
+        fs = jnp.concatenate([f[step:], jnp.zeros((step,), bool)])
+        v = jnp.where(f, v, vs)
+        f = f | fs
+        step <<= 1
+    return v
+
+
 def _derive_coarse(ps_c, ds_c, pe_c, n_raw, gap_w: int):
     """Coarse (gap_w-merged) chain records derived from fine compacted
     records - cap-sized ops only, no second k-sized sort.
@@ -415,8 +443,10 @@ def _derive_coarse(ps_c, ds_c, pe_c, n_raw, gap_w: int):
     Fine records arrive in (dist, pos)-sorted order; a gap_w chain is
     exactly a maximal run of same-dist fine records whose start-to-
     previous-last-seed gaps are <= gap_w (consecutive seeds across a
-    record boundary are prev.end and next.start).  Returns position-
-    ordered records (pads at _I32_BIG) + count."""
+    record boundary are prev.end and next.start).  The segment end
+    rides to each segment start via one reverse segmented copy, so
+    compaction + position ordering fuse into a SINGLE cap-sized sort.
+    Returns position-ordered records (pads at _I32_BIG) + count."""
     cap = ps_c.shape[0]
     idx = jax.lax.iota(jnp.int32, cap)
     valid = idx < n_raw
@@ -428,12 +458,10 @@ def _derive_coarse(ps_c, ds_c, pe_c, n_raw, gap_w: int):
     seg_s = valid & ~cont
     seg_e = valid & jnp.concatenate([~cont[1:], jnp.ones((1,), bool)])
     n_w = jnp.sum(seg_s.astype(jnp.int32))
-    ks = jnp.where(seg_s, idx, _I32_BIG)
-    _, sw, dw = jax.lax.sort((ks, ps_c, ds_c), num_keys=1)
-    ke = jnp.where(seg_e, idx, _I32_BIG)
-    _, ew = jax.lax.sort((ke, pe_c), num_keys=1)
-    pw, pew, dww = _order_chains(sw, dw, ew, n_w, cap)
-    return (pw, pew, dww), n_w
+    cend = _seg_end_copy(pe_c, seg_e)
+    key = jnp.where(seg_s, ps_c, _I32_BIG)
+    pw, dw, ew = jax.lax.sort((key, ds_c, cend), num_keys=1)
+    return (pw, ew, dw), n_w
 
 
 @functools.partial(jax.jit,
@@ -449,12 +477,11 @@ def compact_seeds_dual(pos, cand, ok, limit, cap: int, stride: int,
                                                      limit, stride,
                                                      gap_v)
     n_raw = jnp.sum(start.astype(jnp.int32))
+    end_at = _seg_end_copy(sp, is_end)
     kk = pos.shape[0]
     idxk = jax.lax.iota(jnp.int32, kk)
-    _, ps_c, ds_c = jax.lax.sort(
-        (jnp.where(start, idxk, _I32_BIG), sp, sd), num_keys=1)
-    _, pe_c = jax.lax.sort(
-        (jnp.where(is_end, idxk, _I32_BIG), sp), num_keys=1)
+    _, ps_c, ds_c, pe_c = jax.lax.sort(
+        (jnp.where(start, idxk, _I32_BIG), sp, sd, end_at), num_keys=1)
     ps_c, ds_c, pe_c = ps_c[:cap], ds_c[:cap], pe_c[:cap]
     coarse, n_w = _derive_coarse(ps_c, ds_c, pe_c,
                                  jnp.minimum(n_raw, cap), gap_w)
@@ -466,18 +493,20 @@ def compact_seeds_dual(pos, cand, ok, limit, cap: int, stride: int,
                    static_argnames=("cap", "stride", "gap_v", "gap_w"))
 def compact_seeds_dual_pallas(pos, cand, ok, limit, cap: int,
                               stride: int, gap_v: int, gap_w: int):
-    from .compact_pallas import compact_masked_pallas
+    from .compact_pallas import compact_starts3_pallas
     start, is_end, sp, sd = _dist_sorted_seed_starts(pos, cand, ok,
                                                      limit, stride,
                                                      gap_v)
-    # one kernel compacts starts AND ends (i-th start pairs with the
-    # i-th end: chains are contiguous segments in dist order); the
-    # dist column rides as the start-side payload
-    starts_c, ends_c, dists_c, n_raw = compact_masked_pallas(
-        start, is_end, sp, sd, cap)
-    coarse, n_w = _derive_coarse(starts_c, dists_c, ends_c,
+    # chain ends ride to their start elements via one dense reverse
+    # segmented copy, so ONE starts-only kernel pass compacts
+    # (start, dist, end) together and the cross-tile merge is a single
+    # stacked row gather (vs a two-mask kernel + three element gathers)
+    end_at = _seg_end_copy(sp, is_end)
+    ps_c, ds_c, pe_c, n_raw = compact_starts3_pallas(
+        start, sp, sd, end_at, cap)
+    coarse, n_w = _derive_coarse(ps_c, ds_c, pe_c,
                                  jnp.minimum(n_raw, cap), gap_w)
-    fine = _order_chains(starts_c, dists_c, ends_c, n_raw, cap)
+    fine = _order_chains(ps_c, ds_c, pe_c, n_raw, cap)
     return fine, n_raw, coarse, n_w
 
 

@@ -80,6 +80,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_char_p,
                                     ctypes.c_int, ctypes.c_int]
+        lib.demote_fragmenting_matches.restype = i64
+        lib.demote_fragmenting_matches.argtypes = [
+            u8p, i64p, i64p, i64, i64, i64, u8p, i64p, i64p, i64p,
+            i64p, i64]
         lib.parse_token_stream.restype = i64
         lib.parse_token_stream.argtypes = [u8p, i64, i64, u8p, i64p, i64p,
                                            ctypes.POINTER(ctypes.c_uint32),
@@ -261,6 +265,41 @@ def flatten_replay(kinds: np.ndarray, lens: np.ndarray,
     if ret < 0:
         return None
     return out_len[:ret].copy(), out_lit[:ret].copy()
+
+
+def demote_fragmenting(kinds: np.ndarray, lens: np.ndarray,
+                       dists: np.ndarray, frag_num: int = 1,
+                       frag_den: int = 512
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]]:
+    """Fragmentation-aware token rewrite (csrc demote_fragmenting_
+    matches): matches whose decode-plan piece expansion exceeds
+    1 + len*frag_num/frag_den pieces are demoted to literals, bounding
+    the accelerator replay plan near-linearly in output size.  Returns
+    the rewritten columns, or None (keep originals) when the runtime is
+    unavailable or the piece scratch overflows."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(kinds)
+    if n == 0:
+        return kinds, lens, dists
+    kinds = np.ascontiguousarray(kinds, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    dists = np.ascontiguousarray(dists, dtype=np.int64)
+    total = int(lens.sum())
+    pcap = 2 * n + total // max(frag_den, 1) * max(frag_num, 1) + 4096
+    ok = np.empty(n + 2, dtype=np.uint8)
+    ol = np.empty(n + 2, dtype=np.int64)
+    od = np.empty(n + 2, dtype=np.int64)
+    pl = np.empty(pcap, dtype=np.int64)
+    pi = np.empty(pcap, dtype=np.int64)
+    t = lib.demote_fragmenting_matches(
+        _u8p(kinds), _i64p(lens), _i64p(dists), n, frag_num, frag_den,
+        _u8p(ok), _i64p(ol), _i64p(od), _i64p(pl), _i64p(pi), pcap)
+    if t < 0:
+        return None
+    return ok[:t].copy(), ol[:t].copy(), od[:t].copy()
 
 
 def lzo1x_encode(data: bytes) -> Optional[bytes]:

@@ -62,7 +62,7 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
         // induce L-type from left
         for (int32_t c = 0; c < K; c++) head[c] = bkt[c];
         for (int32_t k = 0; k < n; k++) {
-            int32_t jp = sa[k + 8 < n ? k + 8 : n - 1];
+            int32_t jp = sa[k + 24 < n ? k + 24 : n - 1];
             if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
@@ -73,7 +73,7 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
         // induce S-type from right
         for (int32_t c = 0; c < K; c++) tail[c] = bkt[c + 1];
         for (int32_t k = n - 1; k >= 0; k--) {
-            int32_t jp = sa[k >= 8 ? k - 8 : 0];
+            int32_t jp = sa[k >= 24 ? k - 24 : 0];
             if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
@@ -174,7 +174,7 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
         // induce L-type from left
         for (int32_t c = 0; c < 256; c++) head[c] = 1 + bkt[c];
         for (int32_t k = 0; k <= n; k++) {
-            int32_t jp = sa[k + 8 <= n ? k + 8 : n];
+            int32_t jp = sa[k + 24 <= n ? k + 24 : n];
             if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
@@ -185,7 +185,7 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
         // induce S-type from right
         for (int32_t c = 0; c < 256; c++) tail[c] = 1 + bkt[c + 1];
         for (int32_t k = n; k >= 0; k--) {
-            int32_t jp = sa[k >= 8 ? k - 8 : 0];
+            int32_t jp = sa[k >= 24 ? k - 24 : 0];
             if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
@@ -210,6 +210,46 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
     auto cmb = [&](int32_t i) -> uint32_t {
         return i < n ? comb[i] : 0xFFFFu;  // unique sentinel marker
     };
+    // scalar LMS-substring equality (chars+types through the
+    // terminating LMS position); the sentinel marker can only match
+    // itself, and only one substring reaches it
+    auto lms_eq_scalar = [&](int32_t p, int32_t q, int32_t d) -> bool {
+        for (;; d++) {
+            if (cmb(p + d) != cmb(q + d)) return false;
+            bool le = is_lms(p + d), lj = is_lms(q + d);
+            if (d > 0 && (le || lj)) return le && lj;
+        }
+    };
+    // word-wise version: compare 4 comb entries per step.  A substring
+    // boundary is a 0->1 transition of the S-type bit (bit 0 of each
+    // u16); within an equal prefix both substrings share it, so the
+    // check reduces to "no XOR difference at or before the first
+    // boundary".  Naming touches 2 random streams per pair, so halving
+    // the touched words matters (~2x on the 8MB text naming pass).
+    const uint64_t kLSB = 0x0001000100010001ull;
+    auto lms_eq = [&](int32_t p, int32_t q) -> bool {
+        uint64_t carry = (uint64_t)(comb[p - 1] & 1);  // p is LMS: 0
+        for (int32_t d = 0;;) {
+            if (p + d + 4 > n || q + d + 4 > n)
+                return lms_eq_scalar(p, q, d);
+            uint64_t x, y;
+            std::memcpy(&x, &comb[p + d], 8);
+            std::memcpy(&y, &comb[q + d], 8);
+            uint64_t m = x & kLSB;
+            uint64_t rises = m & ~((m << 16) | carry);
+            if (d == 0) rises &= ~0xFFFFull;  // offset 0 is the start
+            uint64_t diff = x ^ y;
+            if (rises) {
+                if (!diff) return true;
+                int t = __builtin_ctzll(rises) >> 4;
+                int db = __builtin_ctzll(diff) >> 4;
+                return db > t;
+            }
+            if (diff) return false;
+            carry = (x >> 48) & 1;
+            d += 4;
+        }
+    };
     std::vector<int32_t> name(n + 1, -1);
     int32_t names = 0;
     int32_t prev = -1;
@@ -217,15 +257,8 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
         if (prev < 0) {
             name[j] = names++;
         } else {
-            // compare LMS substrings (chars+types through the
-            // terminating LMS position); the sentinel marker can only
-            // match itself, and only one substring reaches it
-            bool same = true;
-            for (int32_t d = 0;; d++) {
-                if (cmb(prev + d) != cmb(j + d)) { same = false; break; }
-                bool le = is_lms(prev + d), lj = is_lms(j + d);
-                if (d > 0 && (le || lj)) { same = le && lj; break; }
-            }
+            bool same = prev < n && j < n ? lms_eq(prev, j)
+                                          : lms_eq_scalar(prev, j, 0);
             name[j] = same ? names - 1 : names++;
         }
         prev = j;

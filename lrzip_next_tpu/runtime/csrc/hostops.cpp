@@ -447,6 +447,135 @@ int64_t flatten_replay(const uint8_t* kinds, const int64_t* lens,
     return np;
 }
 
+// ------------------------------------------------------- defragment
+
+// Fragmentation-aware token selection (encode side): replay cost on
+// the accelerator is ~per-PIECE, not per-byte (each fragment of the
+// flattened plan costs an aligned-window DMA + merge regardless of
+// length - ops/replay_ragged.py), so a short match that copies an
+// already-fragmented region can cost far more decode time than the
+// few archive bytes it saves.  This pass walks the token stream
+// maintaining the same literal-source piece structure flatten_replay
+// builds, and DEMOTES to literal any match whose piece expansion
+// exceeds a length-scaled budget.  Demoted bytes merge into the
+// neighboring literal run, so the rewritten stream stays valid and
+// the decoder's plan stays near-linear in output size.
+//
+// Returns the rewritten token count (<= n_tokens + 1), or -1 when the
+// internal piece list would exceed `pcap` (caller keeps the original
+// tokens).
+int64_t demote_fragmenting_matches(
+        const uint8_t* kinds, const int64_t* lens, const int64_t* dists,
+        int64_t n_tokens, int64_t frag_num, int64_t frag_den,
+        uint8_t* out_kind, int64_t* out_len, int64_t* out_dist,
+        int64_t* plen_buf, int64_t* plit_buf, int64_t pcap) {
+    std::vector<int64_t> pstart;
+    pstart.reserve((size_t)n_tokens);
+    int64_t np = 0;
+    int64_t op = 0;
+    int64_t lp = 0;
+    int64_t t = 0;
+
+    auto append_piece = [&](int64_t lit, int64_t len) -> bool {
+        if (np > 0 && plit_buf[np - 1] + plen_buf[np - 1] == lit) {
+            plen_buf[np - 1] += len;
+            op += len;
+            return true;
+        }
+        if (np >= pcap) return false;
+        pstart.resize((size_t)np + 1);
+        pstart[np] = op;
+        plit_buf[np] = lit;
+        plen_buf[np] = len;
+        np++;
+        op += len;
+        return true;
+    };
+
+    auto emit_token = [&](uint8_t kind, int64_t len, int64_t dist) {
+        if (kind == 0 && t > 0 && out_kind[t - 1] == 0) {
+            out_len[t - 1] += len;  // merge adjacent literals
+            return;
+        }
+        out_kind[t] = kind;
+        out_len[t] = len;
+        out_dist[t] = dist;
+        t++;
+    };
+
+    for (int64_t i = 0; i < n_tokens; i++) {
+        int64_t len = lens[i];
+        if (len <= 0) continue;
+        if (kinds[i] == 0) {
+            if (!append_piece(lp, len)) return -1;
+            lp += len;
+            emit_token(0, len, 0);
+            continue;
+        }
+        int64_t dist = dists[i];
+        if (dist < 1 || dist > op) return -1;
+        // count the pieces this match would add (same chunking as
+        // flatten_replay), against a budget that scales with length:
+        // long matches may fragment (their per-byte cost is amortized),
+        // short ones must stay near-monolithic
+        int64_t budget = 1 + len / frag_den * frag_num;
+        int64_t s = op - dist;
+        int64_t remaining = len;
+        int64_t count = 0;
+        bool over = false;
+        while (remaining > 0 && !over) {
+            int64_t mm = remaining < dist ? remaining : dist;
+            int64_t e = s + mm;
+            size_t j = (size_t)(std::upper_bound(pstart.begin(),
+                                                 pstart.begin() + np, s)
+                                - pstart.begin()) - 1;
+            int64_t cur = s;
+            while (cur < e) {
+                int64_t pb = pstart[j];
+                int64_t pe = pb + plen_buf[j];
+                int64_t take = (e < pe ? e : pe) - cur;
+                count++;
+                if (count > budget) { over = true; break; }
+                cur += take;
+                j++;
+            }
+            s += mm;
+            remaining -= mm;
+        }
+        if (over) {
+            // demote: bytes join the literal stream
+            if (!append_piece(lp, len)) return -1;
+            lp += len;
+            emit_token(0, len, 0);
+            continue;
+        }
+        // keep: materialize its pieces (mirrors flatten_replay)
+        s = op - dist;
+        remaining = len;
+        while (remaining > 0) {
+            int64_t mm = remaining < dist ? remaining : dist;
+            int64_t e = s + mm;
+            size_t j = (size_t)(std::upper_bound(pstart.begin(),
+                                                 pstart.begin() + np, s)
+                                - pstart.begin()) - 1;
+            int64_t cur = s;
+            while (cur < e) {
+                int64_t pb = pstart[j];
+                int64_t pe = pb + plen_buf[j];
+                int64_t take = (e < pe ? e : pe) - cur;
+                if (!append_piece(plit_buf[j] + (cur - pb), take))
+                    return -1;
+                cur += take;
+                j++;
+            }
+            s += mm;
+            remaining -= mm;
+        }
+        emit_token(1, len, dist);
+    }
+    return t;
+}
+
 // ----------------------------------------------------------------- lzo
 
 // LZO1X-1-style greedy encoder (valid LZO1X bitstream: literal runs,

@@ -116,4 +116,39 @@ want = rr.replay_pieces_reference(lens, srcs, data, out_len)
 got = np.asarray(jax.device_get(
     rr.replay_pieces_ragged(lens, srcs, dev, out_len)))
 eq("ragged replay", got, want)
+
+# 7. starts3 compaction kernel (dual-chain matcher) vs its XLA twin:
+# masked 3-payload compaction must agree element-for-element on the
+# real chip (the merge gather and log-shift routing are exactly the
+# code paths Mosaic has miscompiled before).
+from lrzip_next_tpu.ops.compact_pallas import compact_starts3_pallas
+rngc = np.random.default_rng(5)
+for mlen, density in ((1 << 20, 0.02), (1 << 22, 0.3)):
+    mask = jnp.asarray(rngc.random(mlen) < density)
+    a = jnp.asarray(rngc.integers(0, 1 << 30, mlen).astype(np.int32))
+    b = jnp.asarray(rngc.integers(0, 1 << 30, mlen).astype(np.int32))
+    c = jnp.asarray(rngc.integers(0, 1 << 30, mlen).astype(np.int32))
+    cap = int(np.asarray(mask).sum()) + 128
+    ga, gb, gc, gn = compact_starts3_pallas(mask, a, b, c, cap)
+    k = int(gn)
+    idxs = np.flatnonzero(np.asarray(mask))
+    eq(f"starts3 n (m={mlen})", np.array([k]), np.array([len(idxs)]))
+    eq(f"starts3 a (m={mlen})", np.asarray(ga)[:k], np.asarray(a)[idxs])
+    eq(f"starts3 b (m={mlen})", np.asarray(gb)[:k], np.asarray(b)[idxs])
+    eq(f"starts3 c (m={mlen})", np.asarray(gc)[:k], np.asarray(c)[idxs])
+
 sys.exit(1 if FAILED else 0)
+
+# 8. MXU selection-matmul extraction: must reproduce x[::stride]
+# EXACTLY on the real chip.  The TPU default matmul precision lowers
+# f32 to bf16 passes whose 8-bit significand rounds 16-bit operands -
+# this silently corrupted extracted anchor columns for four rounds
+# until pinned to Precision.HIGHEST (round 5).
+from lrzip_next_tpu.ops.matcher import _extract_strided_i32
+rngx = np.random.default_rng(9)
+xs = jnp.asarray(rngx.integers(-(1 << 31), 1 << 31, 1 << 20,
+                               dtype=np.int64).astype(np.int32))
+for st in (2, 8, 32):
+    got = np.asarray(jax.device_get(_extract_strided_i32(xs, st)))
+    want = np.asarray(xs)[::st]
+    eq(f"strided extract x{st}", got[:len(want)], want)
