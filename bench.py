@@ -166,13 +166,19 @@ def bench_e2e_device(arr: np.ndarray) -> tuple:
     from concurrent.futures import ThreadPoolExecutor
     crc_pool = ThreadPoolExecutor(1)
 
-    def compress_once(job):
+    def compress_once(job, queue_next=None):
         # CRC overlaps the device collect (P4, as in models/pipeline)
         crc_fut = crc_pool.submit(
             lambda: zlib.crc32(arr) & 0xFFFFFFFF)
         kinds, lengths, dists = job.collect()
         kinds, lengths, dists = split_long_runs(kinds, lengths, dists)
         enc = DeviceLiteralEncode(dev, kinds, lengths, 6)
+        # enqueue the NEXT chunk's matcher AFTER this chunk's rANS
+        # dispatch: the device executes in order, so the sync below
+        # waits only on rans_i, and matcher_{i+1} overlaps the next
+        # iteration's host work instead of sitting in front of rans_i
+        if queue_next is not None:
+            queue_next()
         stream0 = encode_token_stream(kinds, lengths, dists, w,
                                       stored_crc_int(crc_fut.result()))
         nw = int(enc.n_words)  # scalar sync; payload stays in HBM
@@ -181,18 +187,18 @@ def bench_e2e_device(arr: np.ndarray) -> tuple:
     enc, stream0, tokens, nw = compress_once(
         TpuMatchJob(arr, stride=8, dev=dev))  # compile + warm
     # steady-state pipelined throughput, the way models/pipeline runs
-    # production chunks: the next chunk's matcher is submitted before
-    # the current chunk is collected, overlapping device compute with
-    # the host greedy/CRC/token packaging.
+    # production chunks: the next chunk's matcher is submitted right
+    # after the current chunk's backend dispatch, overlapping device
+    # compute with the host greedy/CRC/token packaging.
     DEPTH = 4
     times = []
     for _ in range(REPS):
         jobs = [TpuMatchJob(arr, stride=8, dev=dev)]
         t0 = time.time()
         for i in range(DEPTH):
-            if i + 1 < DEPTH:
-                jobs.append(TpuMatchJob(arr, stride=8, dev=dev))
-            compress_once(jobs.pop(0))
+            qn = (lambda: jobs.append(TpuMatchJob(
+                arr, stride=8, dev=dev))) if i + 1 < DEPTH else None
+            compress_once(jobs.pop(0), queue_next=qn)
         times.append((time.time() - t0) / DEPTH)
     c_dt = sorted(times)[len(times) // 2]
     # wire size: rans payload header+table+states+words (assembled once,

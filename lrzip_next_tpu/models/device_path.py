@@ -240,6 +240,21 @@ def _replay_gather_array(kinds, lengths, d, is_match, starts, lit_lens,
     jax, jnp = _jx()
     from .. import runtime
     from ..ops.replay import expand_tokens, replay_flat_tpu, resolve_bytes
+    if runtime.available():
+        # layered plan first: matches whose expansion would explode
+        # the flat plan (long copies over fragmented regions) become
+        # output-sourced pieces resolved in later kernel passes - the
+        # wavefront form of the reference's fd_hist self-referential
+        # replay (src/runzip.c:184-241)
+        lay = runtime.flatten_replay_layered(kinds, lengths, d)
+        if lay is not None:
+            pl_, ps_, py_, nl = lay
+            if nl == 0:
+                return replay_flat_tpu(pl_, ps_, literals, out_len)
+            from ..ops.replay_ragged import replay_pieces_layered
+            interp = jax.devices()[0].platform == "cpu"
+            return replay_pieces_layered(pl_, ps_, py_, nl, literals,
+                                         out_len, interpret=interp)
     flat = runtime.flatten_replay(kinds, lengths, d) \
         if runtime.available() else None
     if flat is not None:

@@ -284,15 +284,21 @@ def _ragged_call(ncells: int, nf_b: int, nrows_lit: int,
 
 def replay_pieces_ragged(plan_len: np.ndarray, plan_lit: np.ndarray,
                          lit_dev, out_len: int,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         as_rows: bool = False,
+                         checked: bool = False):
     """Execute a flattened piece plan against a device-resident uint8
-    literal plane.  Returns the (out_len,) uint8 chunk on device."""
+    literal plane.  Returns the (out_len,) uint8 chunk on device, or
+    (with ``as_rows``) the raw (ncells*ROWS, 1024) int32 cell rows for
+    the layered passes to build on.  ``checked`` skips the source-
+    bounds guard (the layered driver validates its real pieces itself
+    and its dummy placeholders read only the lead padding)."""
     jax, jnp = _jx()
     lit_len = int(lit_dev.shape[0])
     pl_ = np.asarray(plan_len, np.int64)
     ps_ = np.asarray(plan_lit, np.int64)
-    if len(pl_) and (int((ps_ + pl_).max()) > lit_len
-                     or int(ps_.min()) < 0):
+    if not checked and len(pl_) and (int((ps_ + pl_).max()) > lit_len
+                                     or int(ps_.min()) < 0):
         # corrupt plan: sources past the literal plane would replay
         # pad zeros as silently wrong bytes
         raise ValueError("literal stream length mismatch")
@@ -313,9 +319,245 @@ def replay_pieces_ragged(plan_len: np.ndarray, plan_lit: np.ndarray,
         call = _ragged_call(nc_b, nf_b, nrows_lit, interpret)
         out32 = call(jnp.asarray(lo_a), jnp.asarray(base_a),
                      jnp.asarray(meta_a), lit32)
-        outs.append(out32[:nc * ROWS].astype(jnp.uint8).reshape(-1))
+        if as_rows:
+            outs.append(out32[:nc * ROWS])
+        else:
+            outs.append(out32[:nc * ROWS].astype(jnp.uint8).reshape(-1))
     full = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    if as_rows:
+        return full
     return full[:out_len]
+
+
+def _plan_frags(dst: np.ndarray, src: np.ndarray, length: np.ndarray,
+                ncells_total: int, lead_rows: int):
+    """Explicit-destination fragment plan (the layered passes' form of
+    plan_ragged): cut (dst, src, len) pieces at CELL boundaries and
+    bucket them per destination cell.  Returns the per-call tuples
+    plan_ragged produces; ``lead_rows`` is the source plane's lead
+    padding in rows."""
+    order = np.argsort(dst, kind="stable")
+    dst, src, length = dst[order], src[order], length[order]
+    ends = dst + length
+    nf = ((ends - 1) >> 13) - (dst >> 13) + 1
+    total = int(nf.sum())
+    idx = np.repeat(np.arange(len(nf)), nf)
+    k = np.arange(total) - np.repeat(np.cumsum(nf) - nf, nf)
+    cut = ((dst[idx] >> 13) + k) << 13
+    f_dst = np.maximum(dst[idx], cut)
+    f_end = np.minimum(ends[idx], cut + CELL)
+    f_len = f_end - f_dst
+    f_src = src[idx] + (f_dst - dst[idx])
+    cell = f_dst >> 13
+    dlo = f_dst & (CELL - 1)
+    base = (f_src - dlo + lead_rows * 1024).astype(np.int32)
+    meta = (dlo | (f_len - 1) << 13).astype(np.int32)
+
+    calls = []
+    c0 = 0
+    while c0 < ncells_total:
+        f0 = int(np.searchsorted(cell, c0))
+        fmax = min(f0 + _MAX_SMEM_FRAGS, total)
+        c1 = ncells_total if fmax >= total else int(cell[fmax])
+        if c1 <= c0:
+            c1 = c0 + 1
+        f1 = int(np.searchsorted(cell, c1))
+        nc = c1 - c0
+        lo = np.searchsorted(cell[f0:f1], np.arange(c0, c1 + 1)
+                             ).astype(np.int32)
+        calls.append((c0, nc, base[f0:f1], meta[f0:f1], lo))
+        c0 = c1
+    return calls
+
+
+def _make_kernel_prior():
+    """Layered-pass kernel: like _make_kernel, but the source plane is
+    the PREVIOUS pass's lead-padded output, and each cell initializes
+    from its own prior contents (so untouched cells copy through and
+    partially-covered cells keep earlier bytes) instead of zeros."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(cell0_ref, lo_ref, base_ref, meta_ref, prior_ref,
+               out_ref, scratch, init_s, sems, sem_i):
+        j = pl.program_id(0)
+        lo = lo_ref[j]
+        hi = lo_ref[j + 1]
+        # absolute cell = cell0 + j (multi-call ranges start at cell0);
+        # bucket-padded tail cells read into the prior's safety trail
+        r_init = pl.multiple_of(
+            LEAD_ROWS + (cell0_ref[0] + j) * ROWS, 8)
+        cp = pltpu.make_async_copy(
+            prior_ref.at[pl.ds(r_init, ROWS), :], init_s, sem_i)
+        cp.start()
+        cp.wait()
+        out_ref[:] = init_s[:]
+
+        def window(i, slot):
+            r0a = pl.multiple_of((base_ref[i] >> 13) << 3, 8)
+            return pltpu.make_async_copy(
+                prior_ref.at[pl.ds(r0a, WINDMA), :], scratch.at[slot],
+                sems.at[slot])
+
+        @pl.when(lo < hi)
+        def _():
+            window(lo, 0).start()
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1024), 1)
+        pos = col + jax.lax.broadcasted_iota(
+            jnp.int32, (ROWS, 1024), 0) * 1024
+
+        def body(i, _):
+            slot = jax.lax.rem(i - lo, 2)
+
+            @pl.when(i + 1 < hi)
+            def _():
+                window(i + 1, 1 - slot).start()
+
+            window(i, slot).wait()
+            b = base_ref[i]
+            rsub = (b >> 10) & 7
+            roff = b & 1023
+            m = meta_ref[i]
+            dlo = m & (CELL - 1)
+            flen = ((m >> 13) & (CELL - 1)) + 1
+            z = pltpu.roll(scratch[slot], shift=WINDMA - rsub, axis=0)
+            y = pltpu.roll(z[:WIN], shift=1024 - roff, axis=1)
+            g = jnp.where(col < 1024 - roff, y[:ROWS], y[1:WIN])
+            mask = (pos >= dlo) & (pos < dlo + flen)
+            out_ref[:] = jnp.where(mask, g, out_ref[:])
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _layered_call(ncells: int, nf_b: int, nrows_prior: int,
+                  interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ncells,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((ROWS, 1024),
+                               lambda j, *refs: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WINDMA, 1024), jnp.int32),
+            pltpu.VMEM((ROWS, 1024), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    @jax.jit
+    def call(cell0_a, lo_a, base_a, meta_a, prior32):
+        return pl.pallas_call(
+            _make_kernel_prior(),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ncells * ROWS, 1024),
+                                           jnp.int32),
+            interpret=interpret,
+        )(cell0_a, lo_a, base_a, meta_a, prior32)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_prior_fn(nrows: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(out32):
+        lead = jnp.zeros((LEAD_ROWS, 1024), jnp.int32)
+        # trail covers fragment-window overrun AND the cell-init reads
+        # of bucket-padded tail cells (up to 63 cells = 504 rows)
+        trail = jnp.zeros((TRAIL_ROWS + 512, 1024), jnp.int32)
+        return jnp.concatenate([lead, out32, trail], axis=0)
+
+    return fn
+
+
+def replay_pieces_layered(plan_len: np.ndarray, plan_src: np.ndarray,
+                          plan_layer: np.ndarray, n_layers: int,
+                          lit_dev, out_len: int,
+                          interpret: bool = False):
+    """Execute a layered replay plan (runtime.flatten_replay_layered):
+    pass 0 materializes literal-sourced pieces via the ragged kernel
+    (deferred ranges carry dummy literal-0 bytes, overwritten later);
+    pass k copies layer-k pieces from the lead-padded pass-(k-1)
+    output.  Returns the (out_len,) uint8 chunk on device."""
+    jax, jnp = _jx()
+    plan_len = np.asarray(plan_len, np.int64)
+    plan_src = np.asarray(plan_src, np.int64)
+    plan_layer = np.asarray(plan_layer, np.int32)
+    lit_len = int(lit_dev.shape[0])
+    l0 = plan_layer == 0
+    if l0.any() and (int((plan_src[l0] + plan_len[l0]).max()) > lit_len
+                     or int(plan_src[l0].min()) < 0):
+        raise ValueError("literal stream length mismatch")
+    # pass-0 plan: real layer-0 pieces + deferred ranges as <=CELL
+    # dummy chunks sourcing literal offset 0 (their window reads stay
+    # inside the lead padding; later passes overwrite every byte)
+    d_mask = plan_layer != 0
+    if d_mask.any():
+        reps = np.where(d_mask, -(-plan_len // CELL), 1)
+        idx = np.repeat(np.arange(len(plan_len)), reps)
+        kk = (np.arange(int(reps.sum()))
+              - np.repeat(np.cumsum(reps) - reps, reps))
+        p0_len = np.where(d_mask[idx],
+                          np.minimum(plan_len[idx] - kk * CELL, CELL),
+                          plan_len[idx])
+        p0_lit = np.where(d_mask[idx], 0, plan_src[idx])
+    else:
+        p0_len, p0_lit = plan_len, plan_src
+    out32_flat = replay_pieces_ragged(p0_len, p0_lit, lit_dev, out_len,
+                                      interpret=interpret,
+                                      as_rows=True, checked=True)
+    ncells_total = -(-max(out_len, 1) // CELL)
+    ends = np.cumsum(plan_len)
+    dst_all = ends - plan_len
+    for layer in range(1, n_layers + 1):
+        sel = plan_layer == layer
+        if not sel.any():
+            continue
+        rows = out32_flat.shape[0]
+        prior = _pad_prior_fn(rows)(out32_flat)
+        for c0, nc, base, meta, lo in _plan_frags(
+                dst_all[sel], plan_src[sel], plan_len[sel],
+                ncells_total, LEAD_ROWS):
+            nf = len(base)
+            nf_b = _bucket_pow2(max(nf, 1))
+            nc_b = _bucket_pow2(max(nc, 1), 64)
+            base_a = np.zeros(nf_b, np.int32)
+            meta_a = np.zeros(nf_b, np.int32)
+            base_a[:nf] = base
+            meta_a[:nf] = meta
+            lo_a = np.full(nc_b + 1, nf, np.int32)
+            lo_a[:len(lo)] = lo
+            # the layered call's grid covers ALL cells of the range so
+            # untouched cells copy through (one 32KB DMA per cell)
+            call = _layered_call(nc_b, nf_b, int(prior.shape[0]),
+                                 interpret)
+            seg = call(jnp.asarray(np.array([c0], np.int32)),
+                       jnp.asarray(lo_a), jnp.asarray(base_a),
+                       jnp.asarray(meta_a), prior)
+            if c0 == 0 and nc * ROWS >= out32_flat.shape[0]:
+                out32_flat = seg[:out32_flat.shape[0]]
+            else:
+                out32_flat = jnp.concatenate([
+                    out32_flat[:c0 * ROWS],
+                    seg[:nc * ROWS],
+                    out32_flat[(c0 + nc) * ROWS:]], axis=0)
+    return out32_flat.astype(jnp.uint8).reshape(-1)[:out_len]
 
 
 def replay_pieces_reference(plan_len: np.ndarray, plan_lit: np.ndarray,

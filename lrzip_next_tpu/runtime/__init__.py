@@ -80,6 +80,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_char_p,
                                     ctypes.c_int, ctypes.c_int]
+        lib.flatten_replay_layered.restype = i64
+        lib.flatten_replay_layered.argtypes = [
+            u8p, i64p, i64p, i64, i64, i64, i64p, i64p, i32p, i64,
+            i32p]
         lib.demote_fragmenting_matches.restype = i64
         lib.demote_fragmenting_matches.argtypes = [
             u8p, i64p, i64p, i64, i64, i64, u8p, i64p, i64p, i64p,
@@ -265,6 +269,38 @@ def flatten_replay(kinds: np.ndarray, lens: np.ndarray,
     if ret < 0:
         return None
     return out_len[:ret].copy(), out_lit[:ret].copy()
+
+
+def flatten_replay_layered(kinds: np.ndarray, lens: np.ndarray,
+                           dists: np.ndarray, frag_num: int = 1,
+                           frag_den: int = 4096):
+    """Layered replay plan (csrc flatten_replay_layered): returns
+    (piece_lens, piece_srcs, piece_layers, n_layers) where layer-0
+    pieces source the literal plane and layer-k pieces copy output
+    ranges completed by pass k-1.  None on fallback (runtime missing,
+    cap overflow, or pathological layer depth)."""
+    lib = _load()
+    if lib is None:
+        return None
+    kinds = np.ascontiguousarray(kinds, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    dists = np.ascontiguousarray(dists, dtype=np.int64)
+    n = len(kinds)
+    total = int(lens.sum())
+    # pieces are bounded by the per-match inline budgets (8 + len/den
+    # each) plus literals; 6n + total/512 covers that with slack
+    cap = 6 * n + total // 512 + 65536
+    pl = np.empty(cap, dtype=np.int64)
+    ps = np.empty(cap, dtype=np.int64)
+    py = np.empty(cap, dtype=np.int32)
+    nl = ctypes.c_int32(0)
+    t = lib.flatten_replay_layered(
+        _u8p(kinds), _i64p(lens), _i64p(dists), n, frag_num, frag_den,
+        _i64p(pl), _i64p(ps), py.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)), cap, ctypes.byref(nl))
+    if t < 0:
+        return None
+    return (pl[:t].copy(), ps[:t].copy(), py[:t].copy(), int(nl.value))
 
 
 def demote_fragmenting(kinds: np.ndarray, lens: np.ndarray,

@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <functional>
 #include <queue>
 #include <vector>
 
@@ -444,6 +445,154 @@ int64_t flatten_replay(const uint8_t* kinds, const int64_t* lens,
             remaining -= m;
         }
     }
+    return np;
+}
+
+// -------------------------------------------------- layered flatten
+
+// Layered replay plan: like flatten_replay, but a match whose
+// expansion would exceed a length-scaled piece budget (or whose
+// source region is itself deferred) becomes ONE output-sourced copy
+// resolved in a later kernel pass over the already-materialized
+// output - the wavefront form of the reference's self-referential
+// fd_hist replay (src/runzip.c:184-241; SURVEY 7.3).  Long matches
+// over fragmented regions would otherwise DUPLICATE the region's
+// whole piece structure (measured 568K pieces for 157K tokens on the
+// 64MB bench chunk; the replay kernel pays ~0.6us per piece).
+//
+// Per piece: out_len, out_src, out_layer.  layer 0 => src is a
+// literal-plane offset; layer k>0 => src is an absolute OUTPUT offset
+// whose bytes are complete after pass k-1.  Returns the piece count
+// and writes the layer count via *out_layers; -1 on cap overflow or
+// layer blowup (caller falls back to the flat plan / sequential).
+int64_t flatten_replay_layered(
+        const uint8_t* kinds, const int64_t* lens, const int64_t* dists,
+        int64_t n_tokens, int64_t frag_num, int64_t frag_den,
+        int64_t* out_len, int64_t* out_src, int32_t* out_layer,
+        int64_t cap, int32_t* out_layers) {
+    const int32_t MAXL = 16;
+    std::vector<int64_t> pstart;
+    pstart.reserve((size_t)n_tokens);
+    int64_t np = 0;
+    int64_t op = 0;
+    int64_t lp = 0;
+    int32_t max_layer = 0;
+
+    auto append = [&](int64_t src, int64_t len, int32_t layer) -> bool {
+        if (np > 0 && out_layer[np - 1] == 0 && layer == 0 &&
+            out_src[np - 1] + out_len[np - 1] == src) {
+            out_len[np - 1] += len;
+            op += len;
+            return true;
+        }
+        if (np >= cap) return false;
+        pstart.resize((size_t)np + 1);
+        pstart[np] = op;
+        out_src[np] = src;
+        out_len[np] = len;
+        out_layer[np] = layer;
+        np++;
+        op += len;
+        return true;
+    };
+
+    for (int64_t i = 0; i < n_tokens; i++) {
+        int64_t len = lens[i];
+        if (len <= 0) continue;
+        if (kinds[i] == 0) {
+            if (!append(lp, len, 0)) return -1;
+            lp += len;
+            continue;
+        }
+        int64_t dist = dists[i];
+        if (dist < 1 || dist > op) return -1;
+        // resolve the source range to literal runs, TRANSLATING
+        // through deferred pieces (bytes at a deferred piece's dst
+        // equal bytes at its src): a short match into a copied region
+        // inlines via the copy's origin instead of stacking layers.
+        // Deferral wins only when the expansion would cost more
+        // pieces than the deferred copy's own cell cuts (a deferred
+        // range costs ~2 pieces per 8KB cell: dummy + copy), so the
+        // inline budget is ~break-even with that: 8 + len/frag_den.
+        int64_t budget = 8 + len / frag_den * frag_num;
+        if (len > dist) {
+            // overlap (RLE-ish) matches MUST inline chunk by chunk
+            // (each chunk reads the previous one's bytes; deferring
+            // would stack one kernel pass per chunk).  Budget covers
+            // the chunk count; pathological byte-RLE falls back to
+            // the non-layered paths, as the flat planner always has.
+            int64_t chunks = (len + dist - 1) / dist;
+            if (chunks > 4096) return -1;
+            budget += chunks;
+        }
+        std::vector<std::pair<int64_t, int64_t>> runs;
+        std::function<bool(int64_t, int64_t, int64_t&, int)> resolve =
+            [&](int64_t s, int64_t e, int64_t& left, int depth) {
+            if (depth > 48) return false;
+            size_t j = (size_t)(std::upper_bound(pstart.begin(),
+                                                 pstart.begin() + np, s)
+                                - pstart.begin()) - 1;
+            int64_t cur = s;
+            while (cur < e) {
+                int64_t pb = pstart[j];
+                int64_t pe = pb + out_len[j];
+                int64_t take = (e < pe ? e : pe) - cur;
+                if (--left < 0) return false;
+                int64_t off = out_src[j] + (cur - pb);
+                if (out_layer[j] == 0) {
+                    runs.emplace_back(off, take);
+                } else if (!resolve(off, off + take, left, depth + 1)) {
+                    return false;
+                }
+                cur += take;
+                j++;
+            }
+            return true;
+        };
+        int64_t left = budget;
+        int64_t s = op - dist;
+        int64_t remaining = len;
+        bool defer_mode = false;
+        int32_t next_layer = 0;
+        while (remaining > 0) {
+            int64_t mm = remaining < dist ? remaining : dist;
+            if (!defer_mode) {
+                runs.clear();
+                if (resolve(s, s + mm, left, 0)) {
+                    for (auto& r : runs)
+                        if (!append(r.first, r.second, 0)) return -1;
+                } else {
+                    // switch to deferral from this chunk on; layer =
+                    // 1 + max layer over the directly overlapped
+                    // pieces, stacking for later RLE chunks (each
+                    // reads the previous chunk's bytes)
+                    defer_mode = true;
+                    int32_t maxl = 0;
+                    size_t j = (size_t)(std::upper_bound(
+                                            pstart.begin(),
+                                            pstart.begin() + np, s)
+                                        - pstart.begin()) - 1;
+                    int64_t cur = s;
+                    while (cur < s + mm) {
+                        if (out_layer[j] > maxl) maxl = out_layer[j];
+                        int64_t pe = pstart[j] + out_len[j];
+                        cur = pe < s + mm ? pe : s + mm;
+                        j++;
+                    }
+                    next_layer = maxl + 1;
+                }
+            }
+            if (defer_mode) {
+                if (next_layer > MAXL) return -1;
+                if (!append(s, mm, next_layer)) return -1;
+                if (next_layer > max_layer) max_layer = next_layer;
+                next_layer++;
+            }
+            s += mm;
+            remaining -= mm;
+        }
+    }
+    *out_layers = max_layer;
     return np;
 }
 

@@ -113,3 +113,108 @@ def test_every_misalignment():
     got = rr.replay_pieces_ragged(lens, srcs, jnp.asarray(lit),
                                   out_len, interpret=True)
     assert np.array_equal(np.asarray(got), want)
+
+
+# ---------------------------------------------------------------------------
+# round 5: layered replay (output-sourced passes)
+
+
+def _layered_roundtrip(kinds, lens, dists, data, lit):
+    import jax.numpy as jnp
+    from lrzip_next_tpu import runtime
+    from lrzip_next_tpu.ops.replay_ragged import replay_pieces_layered
+    lay = runtime.flatten_replay_layered(
+        np.asarray(kinds, np.uint8), np.asarray(lens, np.int64),
+        np.asarray(dists, np.int64))
+    assert lay is not None
+    pl_, ps_, py_, nl = lay
+    out = replay_pieces_layered(pl_, ps_, py_, nl,
+                                jnp.asarray(lit), len(data),
+                                interpret=True)
+    got = np.asarray(out)
+    assert np.array_equal(got, data), (
+        np.flatnonzero(got != data)[:5], nl)
+    return nl
+
+
+def test_layered_replay_long_match_over_fragments(rng):
+    """A long match copying a fragmented region must become an
+    output-sourced pass instead of duplicating the fragments."""
+    from lrzip_next_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    lit = rng.integers(0, 256, 40_000, dtype=np.uint8)
+    # many short literal+match alternations -> fragmented first half
+    kinds, lens, dists = [], [], []
+    pos = 0
+    lp = 0
+    out = []
+    for i in range(300):
+        L = 40 + int(rng.integers(0, 60))
+        kinds.append(0); lens.append(L); dists.append(0)
+        out.append(lit[lp:lp + L]); lp += L; pos += L
+        if pos > 600:
+            ml = 32 + int(rng.integers(0, 64))
+            d = int(rng.integers(ml, min(pos - 1, 4000)))
+            kinds.append(1); lens.append(ml); dists.append(d)
+            cur = np.concatenate(out)
+            out.append(cur[pos - d:pos - d + ml]); pos += ml
+    # the long match: copy everything so far
+    cur = np.concatenate(out)
+    n0 = len(cur)
+    kinds.append(1); lens.append(n0); dists.append(n0)
+    out.append(cur)
+    # and a short match INTO the copied (deferred) region
+    cur = np.concatenate(out)
+    kinds.append(1); lens.append(500); dists.append(700)
+    out.append(cur[len(cur) - 700:len(cur) - 700 + 500])
+    data = np.concatenate(out)
+    nl = _layered_roundtrip(kinds, lens, dists, data, lit[:lp])
+    assert nl >= 1
+
+
+def test_layered_replay_rle_chunks_stack_layers(rng):
+    from lrzip_next_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    lit = rng.integers(0, 256, 3000, dtype=np.uint8)
+    # literal then an overlapping (len > dist) match over a fragmented
+    # region: chunks must stack layers
+    kinds = [0, 1, 0, 1]
+    lens = [2000, 1500, 1000, 6000]
+    dists = [0, 900, 0, 2500]
+    out = [lit[:2000]]
+    cur = lit[:2000]
+    for k, L, d in list(zip(kinds, lens, dists))[1:]:
+        if k == 0:
+            seg = lit[2000:3000]
+        else:
+            seg = np.empty(L, np.uint8)
+            for i in range(L):
+                seg[i] = cur[len(cur) - d + i] if i < d else seg[i - d]
+            # proper self-referential semantics
+            buf = np.concatenate([cur, np.zeros(L, np.uint8)])
+            for i in range(L):
+                buf[len(cur) + i] = buf[len(cur) - d + i]
+            seg = buf[len(cur):]
+        out.append(seg)
+        cur = np.concatenate(out)
+    data = cur
+    _layered_roundtrip(kinds, lens, dists, data, lit)
+
+
+def test_layered_replay_matches_flat_on_simple_plans(rng, corpus_factory):
+    """Streams without pathological fragmentation must produce layer
+    count 0 and byte-identical output through the flat path."""
+    from lrzip_next_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    from lrzip_next_tpu.ops.matcher import TpuMatchJob
+    data = np.frombuffer(corpus_factory(120_000, "mixed"), np.uint8)
+    job = TpuMatchJob(data, stride=8)
+    kinds, lens, dists = job.collect()
+    lay = runtime.flatten_replay_layered(kinds, lens, dists)
+    assert lay is not None
+    lit = np.concatenate([data[e - l:e] for k, l, e in
+                          zip(kinds, lens, np.cumsum(lens)) if k == 0])
+    _layered_roundtrip(kinds, lens, dists, data, lit)
