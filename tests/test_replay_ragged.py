@@ -218,3 +218,30 @@ def test_layered_replay_matches_flat_on_simple_plans(rng, corpus_factory):
     lit = np.concatenate([data[e - l:e] for k, l, e in
                           zip(kinds, lens, np.cumsum(lens)) if k == 0])
     _layered_roundtrip(kinds, lens, dists, data, lit)
+
+
+def test_demote_fragmenting_roundtrip(rng, corpus_factory):
+    """The fragmentation-aware token rewrite must preserve the decoded
+    bytes exactly while never increasing the piece count."""
+    from lrzip_next_tpu import runtime
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    from lrzip_next_tpu.ops.matcher import TpuMatchJob
+    base = corpus_factory(150_000, "mixed")
+    data = np.frombuffer(base + base[:60_000], np.uint8)
+    job = TpuMatchJob(data, stride=8)
+    kinds, lens, dists = job.collect()
+    res = runtime.demote_fragmenting(kinds, lens, dists)
+    assert res is not None
+    k2, l2, d2 = res
+    assert int(l2.sum()) == len(data)
+    lit = np.concatenate([data[e - l:e] for k, l, e in
+                          zip(k2, l2, np.cumsum(l2)) if k == 0]) \
+        if (k2 == 0).any() else np.zeros(0, np.uint8)
+    out = runtime.replay_tokens(k2, l2, d2, lit, len(data))
+    assert np.array_equal(out, data)
+    f1 = runtime.flatten_replay(kinds, np.asarray(lens, np.int64),
+                                np.asarray(dists, np.int64))
+    f2 = runtime.flatten_replay(k2, np.asarray(l2, np.int64),
+                                np.asarray(d2, np.int64))
+    assert len(f2[0]) <= len(f1[0])
