@@ -302,11 +302,21 @@ def replay_pieces_ragged(plan_len: np.ndarray, plan_lit: np.ndarray,
         # corrupt plan: sources past the literal plane would replay
         # pad zeros as silently wrong bytes
         raise ValueError("literal stream length mismatch")
-    plan = plan_ragged(pl_, ps_, out_len, lit_len)
+    pl_, ps_ = merge_contiguous(pl_, ps_)
+    nz = pl_ > 0
+    if not nz.all():
+        pl_, ps_ = pl_[nz], ps_[nz]
+    ends = np.cumsum(pl_)
+    dst = ends - pl_
     lit32 = _stage_lit32(lit_dev, lit_len)
     nrows_lit = int(lit32.shape[0])
+    ncells_total = -(-max(out_len, 1) // CELL)
+    small = pl_ <= _SHORT_LEN
+    long_m = ~small
     outs = []
-    for c0, nc, base, meta, lo in plan.calls:
+    for c0, nc, base, meta, lo in _plan_frags(
+            dst[long_m], ps_[long_m], pl_[long_m], ncells_total,
+            LEAD_ROWS):
         nf = len(base)
         nf_b = _bucket_pow2(max(nf, 1))
         nc_b = _bucket_pow2(max(nc, 1), 64)
@@ -319,39 +329,44 @@ def replay_pieces_ragged(plan_len: np.ndarray, plan_lit: np.ndarray,
         call = _ragged_call(nc_b, nf_b, nrows_lit, interpret)
         out32 = call(jnp.asarray(lo_a), jnp.asarray(base_a),
                      jnp.asarray(meta_a), lit32)
-        if as_rows:
-            outs.append(out32[:nc * ROWS])
-        else:
-            outs.append(out32[:nc * ROWS].astype(jnp.uint8).reshape(-1))
+        outs.append(out32[:nc * ROWS])
     full = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    if small.any():
+        full = _small_pass(full, dst[small], ps_[small], pl_[small],
+                           lit32, out_len, interpret)
     if as_rows:
         return full
-    return full[:out_len]
+    return full.astype(jnp.uint8).reshape(-1)[:out_len]
 
 
 def _plan_frags(dst: np.ndarray, src: np.ndarray, length: np.ndarray,
-                ncells_total: int, lead_rows: int):
+                ncells_total: int, lead_rows: int,
+                cell_bits: int = 13):
     """Explicit-destination fragment plan (the layered passes' form of
-    plan_ragged): cut (dst, src, len) pieces at CELL boundaries and
-    bucket them per destination cell.  Returns the per-call tuples
-    plan_ragged produces; ``lead_rows`` is the source plane's lead
-    padding in rows."""
+    plan_ragged): cut (dst, src, len) pieces at cell boundaries
+    (2^cell_bits bytes) and bucket them per destination cell.  Returns
+    the per-call tuples plan_ragged produces; ``lead_rows`` is the
+    source plane's lead padding in 1024-byte rows.  cell_bits=10 plans
+    for the small-cell (128-column) kernel: dlo and len pack in 10
+    bits each."""
+    cb = cell_bits
+    cell_bytes = 1 << cb
     order = np.argsort(dst, kind="stable")
     dst, src, length = dst[order], src[order], length[order]
     ends = dst + length
-    nf = ((ends - 1) >> 13) - (dst >> 13) + 1
+    nf = ((ends - 1) >> cb) - (dst >> cb) + 1
     total = int(nf.sum())
     idx = np.repeat(np.arange(len(nf)), nf)
     k = np.arange(total) - np.repeat(np.cumsum(nf) - nf, nf)
-    cut = ((dst[idx] >> 13) + k) << 13
+    cut = ((dst[idx] >> cb) + k) << cb
     f_dst = np.maximum(dst[idx], cut)
-    f_end = np.minimum(ends[idx], cut + CELL)
+    f_end = np.minimum(ends[idx], cut + cell_bytes)
     f_len = f_end - f_dst
     f_src = src[idx] + (f_dst - dst[idx])
-    cell = f_dst >> 13
-    dlo = f_dst & (CELL - 1)
+    cell = f_dst >> cb
+    dlo = f_dst & (cell_bytes - 1)
     base = (f_src - dlo + lead_rows * 1024).astype(np.int32)
-    meta = (dlo | (f_len - 1) << 13).astype(np.int32)
+    meta = (dlo | (f_len - 1) << cb).astype(np.int32)
 
     calls = []
     c0 = 0
@@ -386,9 +401,13 @@ def _make_kernel_prior():
         lo = lo_ref[j]
         hi = lo_ref[j + 1]
         # absolute cell = cell0 + j (multi-call ranges start at cell0);
-        # bucket-padded tail cells read into the prior's safety trail
-        r_init = pl.multiple_of(
-            LEAD_ROWS + (cell0_ref[0] + j) * ROWS, 8)
+        # bucket-padded tail cells CLAMP to the last valid window (the
+        # pow2 cell bucket can overshoot by up to the cell count, far
+        # past any fixed safety trail - an unclamped read crashes the
+        # device with FAILED_PRECONDITION)
+        r_init = pl.multiple_of(jnp.minimum(
+            LEAD_ROWS + (cell0_ref[0] + j) * ROWS,
+            cell0_ref[1]), 8)
         cp = pltpu.make_async_copy(
             prior_ref.at[pl.ds(r_init, ROWS), :], init_s, sem_i)
         cp.start()
@@ -470,6 +489,174 @@ def _layered_call(ncells: int, nf_b: int, nrows_prior: int,
     return call
 
 
+# Small-cell pass: fragments <= _SHORT_LEN bytes replay through a
+# 128-column variant of the kernel - 1KB output cells, 8KB source
+# windows - cutting the per-fragment DMA and VPU traffic 8x.  The
+# fragmented regions of a dense token stream are made of exactly such
+# pieces (median ~120B at 64MB), and the kernel cost is per-FRAGMENT,
+# not per-byte, so this is where the replay time lives.
+_SHORT_LEN = 512
+ROWS_S = 8            # rows of 128 per small cell (1KB)
+WIN_S = ROWS_S + 1
+WINDMA_S = 16
+
+
+def _make_kernel_small():
+    """128-column pass over the big kernel's output: each 1KB cell
+    initializes from the prior buffer (so cells without short
+    fragments copy through) and mask-merges its short fragments from
+    8KB windows of the lead-padded literal plane (also viewed in
+    128-column rows; byte offsets are layout-independent)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(cell0_ref, lo_ref, base_ref, meta_ref, lit_ref,
+               prior_ref, out_ref, scratch, init_s, sems, sem_i):
+        j = pl.program_id(0)
+        lo = lo_ref[j]
+        hi = lo_ref[j + 1]
+        r_init = pl.multiple_of(jnp.minimum(
+            64 + (cell0_ref[0] + j) * ROWS_S, cell0_ref[1]), 8)
+        cp = pltpu.make_async_copy(
+            prior_ref.at[pl.ds(r_init, ROWS_S), :], init_s, sem_i)
+        cp.start()
+        cp.wait()
+        out_ref[:] = init_s[:]
+
+        def window(i, slot):
+            r0a = pl.multiple_of((base_ref[i] >> 10) << 3, 8)
+            return pltpu.make_async_copy(
+                lit_ref.at[pl.ds(r0a, WINDMA_S), :], scratch.at[slot],
+                sems.at[slot])
+
+        @pl.when(lo < hi)
+        def _():
+            window(lo, 0).start()
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (ROWS_S, 128), 1)
+        pos = col + jax.lax.broadcasted_iota(
+            jnp.int32, (ROWS_S, 128), 0) * 128
+
+        def body(i, _):
+            slot = jax.lax.rem(i - lo, 2)
+
+            @pl.when(i + 1 < hi)
+            def _():
+                window(i + 1, 1 - slot).start()
+
+            window(i, slot).wait()
+            b = base_ref[i]
+            rsub = (b >> 7) & 7
+            roff = b & 127
+            m = meta_ref[i]
+            dlo = m & 1023
+            flen = ((m >> 10) & 1023) + 1
+            z = pltpu.roll(scratch[slot], shift=WINDMA_S - rsub, axis=0)
+            y = pltpu.roll(z[:WIN_S], shift=128 - roff, axis=1)
+            g = jnp.where(col < 128 - roff, y[:ROWS_S], y[1:WIN_S])
+            mask = (pos >= dlo) & (pos < dlo + flen)
+            out_ref[:] = jnp.where(mask, g, out_ref[:])
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _small_call(ncells: int, nf_b: int, nrows128: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ncells,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((ROWS_S, 128),
+                               lambda j, *refs: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WINDMA_S, 128), jnp.int32),
+            pltpu.VMEM((ROWS_S, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    @jax.jit
+    def call(cell0_a, lo_a, base_a, meta_a, lit128, prior128):
+        return pl.pallas_call(
+            _make_kernel_small(),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ncells * ROWS_S, 128),
+                                           jnp.int32),
+            interpret=interpret,
+        )(cell0_a, lo_a, base_a, meta_a, lit128, prior128)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _to128_fn(rows: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(out32):
+        lead = jnp.zeros((64, 128), jnp.int32)
+        trail = jnp.zeros(((TRAIL_ROWS + 512) * 8, 128), jnp.int32)
+        return jnp.concatenate(
+            [lead, out32.reshape(rows * 8, 128), trail], axis=0)
+
+    return fn
+
+
+def _small_pass(out32_flat, dst, src, length, lit32, out_len: int,
+                interpret: bool):
+    """Merge short literal-sourced pieces into the big kernel's output
+    via the 128-column kernel.  Returns the updated (rows, 1024) int32
+    cell rows."""
+    jax, jnp = _jx()
+    rows = int(out32_flat.shape[0])
+    nrows_lit = int(lit32.shape[0])
+    lit128 = lit32.reshape(nrows_lit * 8, 128)
+    prior128 = _to128_fn(rows)(out32_flat)
+    ncells_s = -(-max(out_len, 1) // 1024)
+    out128 = None
+    for c0, nc, base, meta, lo in _plan_frags(
+            dst, src, length, ncells_s, LEAD_ROWS, cell_bits=10):
+        nf = len(base)
+        nf_b = _bucket_pow2(max(nf, 1))
+        nc_b = _bucket_pow2(max(nc, 1), 64)
+        base_a = np.zeros(nf_b, np.int32)
+        meta_a = np.zeros(nf_b, np.int32)
+        base_a[:nf] = base
+        meta_a[:nf] = meta
+        lo_a = np.full(nc_b + 1, nf, np.int32)
+        lo_a[:len(lo)] = lo
+        call = _small_call(nc_b, nf_b, int(lit128.shape[0]), interpret)
+        rmax = (int(prior128.shape[0]) - WINDMA_S) // 8 * 8
+        seg = call(jnp.asarray(np.array([c0, rmax], np.int32)),
+                   jnp.asarray(lo_a), jnp.asarray(base_a),
+                   jnp.asarray(meta_a), lit128, prior128)
+        if out128 is None and c0 == 0 and nc_b * ROWS_S >= rows * 8:
+            out128 = seg[:rows * 8]
+        else:
+            if out128 is None:
+                out128 = prior128[64:64 + rows * 8]
+            out128 = jnp.concatenate([
+                out128[:c0 * ROWS_S],
+                seg[:nc * ROWS_S],
+                out128[(c0 + nc) * ROWS_S:]], axis=0)
+    if out128 is None:
+        return out32_flat
+    return out128.reshape(rows, 1024)
+
+
 @functools.lru_cache(maxsize=None)
 def _pad_prior_fn(nrows: int):
     import jax
@@ -547,7 +734,8 @@ def replay_pieces_layered(plan_len: np.ndarray, plan_src: np.ndarray,
             # untouched cells copy through (one 32KB DMA per cell)
             call = _layered_call(nc_b, nf_b, int(prior.shape[0]),
                                  interpret)
-            seg = call(jnp.asarray(np.array([c0], np.int32)),
+            rmax = (int(prior.shape[0]) - WINDMA) // 8 * 8
+            seg = call(jnp.asarray(np.array([c0, rmax], np.int32)),
                        jnp.asarray(lo_a), jnp.asarray(base_a),
                        jnp.asarray(meta_a), prior)
             if c0 == 0 and nc * ROWS >= out32_flat.shape[0]:

@@ -137,7 +137,7 @@ for mlen, density in ((1 << 20, 0.02), (1 << 22, 0.3)):
     eq(f"starts3 b (m={mlen})", np.asarray(gb)[:k], np.asarray(b)[idxs])
     eq(f"starts3 c (m={mlen})", np.asarray(gc)[:k], np.asarray(c)[idxs])
 
-sys.exit(1 if FAILED else 0)
+
 
 # 8. MXU selection-matmul extraction: must reproduce x[::stride]
 # EXACTLY on the real chip.  The TPU default matmul precision lowers
@@ -152,3 +152,46 @@ for st in (2, 8, 32):
     got = np.asarray(jax.device_get(_extract_strided_i32(xs, st)))
     want = np.asarray(xs)[::st]
     eq(f"strided extract x{st}", got[:len(want)], want)
+
+# 9. layered replay (output-sourced passes) vs its numpy twin on the
+# real chip: deferred copies + translation + RLE chunk stacking.
+from lrzip_next_tpu import runtime as _rt
+from lrzip_next_tpu.ops.replay_ragged import replay_pieces_layered
+if _rt.available():
+    rngl = np.random.default_rng(13)
+    lit = rngl.integers(0, 256, 200_000, dtype=np.uint8)
+    kinds, lens, dists = [], [], []
+    out_parts = [lit[:50_000]]
+    kinds.append(0); lens.append(50_000); dists.append(0)
+    pos, lp = 50_000, 50_000
+    # fragmented stretch: literal/match alternation
+    cur = np.concatenate(out_parts)
+    for i in range(200):
+        L = 64 + int(rngl.integers(0, 200))
+        kinds.append(0); lens.append(L); dists.append(0)
+        out_parts.append(lit[lp:lp + L]); lp += L; pos += L
+        ml = 40 + int(rngl.integers(0, 120))
+        d = int(rngl.integers(ml, min(pos - 1, 30_000)))
+        kinds.append(1); lens.append(ml); dists.append(d)
+        cur = np.concatenate(out_parts)
+        out_parts = [np.concatenate([cur, cur[pos - d:pos - d + ml]])]
+        pos += ml
+    cur = out_parts[0]
+    # long deferred copy over the fragmented region + match into it
+    n0 = len(cur)
+    kinds.append(1); lens.append(n0); dists.append(n0)
+    cur = np.concatenate([cur, cur])
+    kinds.append(1); lens.append(4000); dists.append(7000)
+    cur = np.concatenate([cur, cur[len(cur) - 7000:len(cur) - 7000 + 4000]])
+    lay = _rt.flatten_replay_layered(
+        np.asarray(kinds, np.uint8), np.asarray(lens, np.int64),
+        np.asarray(dists, np.int64))
+    if lay is None:
+        print("[DIFF] layered plan unavailable", flush=True)
+        FAILED = True
+    else:
+        pl_, ps_, py_, nl = lay
+        got = np.asarray(jax.device_get(replay_pieces_layered(
+            pl_, ps_, py_, nl, jnp.asarray(lit[:lp]), len(cur))))
+        eq(f"layered replay ({nl} layers)", got, cur)
+sys.exit(1 if FAILED else 0)
