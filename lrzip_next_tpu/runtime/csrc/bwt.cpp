@@ -30,18 +30,22 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
               std::vector<int32_t>& scratch) {
     if (n == 0) return;
     if (n == 1) { sa[0] = 0; return; }
-    std::vector<uint8_t> is_s(n);
-    is_s[n - 1] = true;  // last suffix: by construction the sentinel
-    for (int32_t i = n - 2; i >= 0; i--)
-        is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
-    auto is_lms = [&](int32_t i) {
-        return i > 0 && is_s[i] && !is_s[i - 1];
-    };
     // comb[j] = (s[j] << 1) | is_s[j]: the induce scans read s[j-1] and
-    // is_s[j-1] at random j - one fused array halves their cache misses
+    // is_s[j-1] at random j - one fused array halves their cache misses.
+    // Built branchless in one backward pass (no separate is_s array).
     std::vector<int32_t> comb(n);
-    for (int32_t i = 0; i < n; i++)
-        comb[i] = (s[i] << 1) | (int32_t)is_s[i];
+    comb[n - 1] = (s[n - 1] << 1) | 1;  // last suffix: the sentinel
+    {
+        uint32_t t = 1;
+        for (int32_t i = n - 2; i >= 0; i--) {
+            t = (uint32_t)(s[i] < s[i + 1]) |
+                ((uint32_t)(s[i] == s[i + 1]) & t);
+            comb[i] = (s[i] << 1) | (int32_t)t;
+        }
+    }
+    auto is_lms = [&](int32_t i) {
+        return i > 0 && (comb[i] & 1) && !(comb[i - 1] & 1);
+    };
 
     std::vector<int32_t> bkt(K + 1), tail(K), head(K);
     auto bucket_bounds = [&]() {
@@ -62,7 +66,7 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
         // induce L-type from left
         for (int32_t c = 0; c < K; c++) head[c] = bkt[c];
         for (int32_t k = 0; k < n; k++) {
-            int32_t jp = sa[k + 24 < n ? k + 24 : n - 1];
+            int32_t jp = sa[k + 48 < n ? k + 48 : n - 1];
             if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
@@ -73,7 +77,7 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
         // induce S-type from right
         for (int32_t c = 0; c < K; c++) tail[c] = bkt[c + 1];
         for (int32_t k = n - 1; k >= 0; k--) {
-            int32_t jp = sa[k >= 24 ? k - 24 : 0];
+            int32_t jp = sa[k >= 48 ? k - 48 : 0];
             if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
@@ -92,27 +96,64 @@ void sais_int(const int32_t* s, int32_t* sa, int32_t n, int32_t K,
     // compact sorted LMS suffixes and name their substrings
     std::vector<int32_t> sorted_lms;
     sorted_lms.reserve(lms.size());
-    for (int32_t k = 0; k < n; k++)
+    for (int32_t k = 0; k < n; k++) {
+        int32_t jp = sa[k + 16 < n ? k + 16 : n - 1];
+        if (jp >= 0) __builtin_prefetch(&comb[jp], 0, 1);
         if (is_lms(sa[k])) sorted_lms.push_back(sa[k]);
+    }
+
+    // scalar LMS-substring equality on the fused comb array (equal comb
+    // entries == equal (char, type) pairs)
+    auto lms_eq_scalar = [&](int32_t p, int32_t q, int32_t d) -> bool {
+        for (;; d++) {
+            if (p + d >= n || q + d >= n ||
+                comb[p + d] != comb[q + d]) return false;
+            bool le = is_lms(p + d), lj = is_lms(q + d);
+            if (d > 0 && (le || lj)) return le && lj;
+        }
+    };
+    // word-wise: 2 comb entries per 8-byte load (the int32 twin of
+    // sais_u8's u16 version; see the boundary-bit derivation there)
+    const uint64_t kLSB32 = 0x0000000100000001ull;
+    auto lms_eq = [&](int32_t p, int32_t q) -> bool {
+        uint64_t carry = (uint64_t)(comb[p - 1] & 1);  // p is LMS: 0
+        for (int32_t d = 0;;) {
+            if (p + d + 2 > n || q + d + 2 > n)
+                return lms_eq_scalar(p, q, d);
+            uint64_t x, y;
+            std::memcpy(&x, &comb[p + d], 8);
+            std::memcpy(&y, &comb[q + d], 8);
+            uint64_t m = x & kLSB32;
+            uint64_t rises = m & ~((m << 32) | carry);
+            if (d == 0) rises &= ~0xFFFFFFFFull;  // offset 0 is the start
+            uint64_t diff = x ^ y;
+            if (rises) {
+                if (!diff) return true;
+                int t = __builtin_ctzll(rises) >> 5;
+                int db = __builtin_ctzll(diff) >> 5;
+                return db > t;
+            }
+            if (diff) return false;
+            carry = (x >> 32) & 1;
+            d += 2;
+        }
+    };
 
     std::vector<int32_t> name(n, -1);
     int32_t names = 0;
     int32_t prev = -1;
-    for (int32_t j : sorted_lms) {
+    const size_t n_sl = sorted_lms.size();
+    for (size_t ki = 0; ki < n_sl; ki++) {
+        if (ki + 4 < n_sl) {
+            int32_t f = sorted_lms[ki + 4];
+            __builtin_prefetch(&comb[f], 0, 1);
+            __builtin_prefetch((const char*)&comb[f] + 64, 0, 1);
+        }
+        int32_t j = sorted_lms[ki];
         if (prev < 0) {
             name[j] = names++;
         } else {
-            // compare LMS substrings at prev and j (chars+types up to
-            // and including the terminating LMS position)
-            bool same = true;
-            for (int32_t d = 0;; d++) {
-                if (prev + d >= n || j + d >= n ||
-                    s[prev + d] != s[j + d] ||
-                    is_s[prev + d] != is_s[j + d]) { same = false; break; }
-                bool le = is_lms(prev + d), lj = is_lms(j + d);
-                if (d > 0 && (le || lj)) { same = le && lj; break; }
-            }
-            name[j] = same ? names - 1 : names++;
+            name[j] = lms_eq(prev, j) ? names - 1 : names++;
         }
         prev = j;
     }
@@ -147,10 +188,14 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
     // comb[i] = (in[i] << 1) | is_s[i]; virtual comb(n) = 0xFFFF
     std::vector<uint16_t> comb(n);
     comb[n - 1] = (uint16_t)(in[n - 1] << 1);  // > sentinel: L-type
-    for (int32_t i = n - 2; i >= 0; i--) {
-        uint16_t t = in[i] < in[i + 1] ||
-                     (in[i] == in[i + 1] && (comb[i + 1] & 1));
-        comb[i] = (uint16_t)((in[i] << 1) | t);
+    {
+        // branchless: t_i = (s_i < s_{i+1}) | ((s_i == s_{i+1}) & t_{i+1})
+        uint32_t t = 0;
+        for (int32_t i = n - 2; i >= 0; i--) {
+            t = (uint32_t)(in[i] < in[i + 1]) |
+                ((uint32_t)(in[i] == in[i + 1]) & t);
+            comb[i] = (uint16_t)(((uint32_t)in[i] << 1) | t);
+        }
     }
     auto is_lms = [&](int32_t i) {
         return i > 0 && (i == n ||
@@ -174,7 +219,7 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
         // induce L-type from left
         for (int32_t c = 0; c < 256; c++) head[c] = 1 + bkt[c];
         for (int32_t k = 0; k <= n; k++) {
-            int32_t jp = sa[k + 24 <= n ? k + 24 : n];
+            int32_t jp = sa[k + 48 <= n ? k + 48 : n];
             if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
@@ -185,7 +230,7 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
         // induce S-type from right
         for (int32_t c = 0; c < 256; c++) tail[c] = 1 + bkt[c + 1];
         for (int32_t k = n; k >= 0; k--) {
-            int32_t jp = sa[k >= 24 ? k - 24 : 0];
+            int32_t jp = sa[k >= 48 ? k - 48 : 0];
             if (jp > 0) __builtin_prefetch(&comb[jp - 1], 0, 1);
             int32_t j = sa[k];
             if (j > 0) {
@@ -201,11 +246,15 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
 
     induce(lms);
 
-    // compact sorted LMS suffixes and name their substrings
+    // compact sorted LMS suffixes and name their substrings.  sa[k] is
+    // random, so is_lms's comb reads miss; prefetch a few slots ahead.
     std::vector<int32_t> sorted_lms;
     sorted_lms.reserve(lms.size());
-    for (int32_t k = 0; k <= n; k++)
+    for (int32_t k = 0; k <= n; k++) {
+        int32_t jp = sa[k + 16 <= n ? k + 16 : n];
+        if (jp > 0 && jp <= n) __builtin_prefetch(&comb[jp - 1], 0, 1);
         if (is_lms(sa[k])) sorted_lms.push_back(sa[k]);
+    }
 
     auto cmb = [&](int32_t i) -> uint32_t {
         return i < n ? comb[i] : 0xFFFFu;  // unique sentinel marker
@@ -253,7 +302,18 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
     std::vector<int32_t> name(n + 1, -1);
     int32_t names = 0;
     int32_t prev = -1;
-    for (int32_t j : sorted_lms) {
+    const size_t n_sl = sorted_lms.size();
+    for (size_t ki = 0; ki < n_sl; ki++) {
+        // each compare walks comb at two random positions; prefetch the
+        // start (2 lines) of the pair 4 iterations out
+        if (ki + 4 < n_sl) {
+            int32_t f = sorted_lms[ki + 4];
+            if (f < n) {
+                __builtin_prefetch(&comb[f], 0, 1);
+                __builtin_prefetch((const char*)&comb[f] + 64, 0, 1);
+            }
+        }
+        int32_t j = sorted_lms[ki];
         if (prev < 0) {
             name[j] = names++;
         } else {
@@ -272,8 +332,11 @@ void sais_u8(const uint8_t* in, int32_t* sa, int32_t n) {
         sais_int(s1.data(), sa1.data(), (int32_t)lms.size(), names,
                  scratch);
         std::vector<int32_t> ordered(lms.size());
-        for (size_t k = 0; k < lms.size(); k++)
+        for (size_t k = 0; k < lms.size(); k++) {
+            if (k + 16 < lms.size())
+                __builtin_prefetch(&lms[sa1[k + 16]], 0, 1);
             ordered[k] = lms[sa1[k]];
+        }
         induce(ordered);
     } else {
         induce(sorted_lms);
