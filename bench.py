@@ -166,39 +166,43 @@ def bench_e2e_device(arr: np.ndarray) -> tuple:
     from concurrent.futures import ThreadPoolExecutor
     crc_pool = ThreadPoolExecutor(1)
 
-    def compress_once(job, queue_next=None):
+    def compress_once(job):
         # CRC overlaps the device collect (P4, as in models/pipeline)
         crc_fut = crc_pool.submit(
             lambda: zlib.crc32(arr) & 0xFFFFFFFF)
         kinds, lengths, dists = job.collect()
         kinds, lengths, dists = split_long_runs(kinds, lengths, dists)
         enc = DeviceLiteralEncode(dev, kinds, lengths, 6)
-        # enqueue the NEXT chunk's matcher AFTER this chunk's rANS
-        # dispatch: the device executes in order, so the sync below
-        # waits only on rans_i, and matcher_{i+1} overlaps the next
-        # iteration's host work instead of sitting in front of rans_i
-        if queue_next is not None:
-            queue_next()
         stream0 = encode_token_stream(kinds, lengths, dists, w,
                                       stored_crc_int(crc_fut.result()))
-        nw = int(enc.n_words)  # scalar sync; payload stays in HBM
-        return enc, stream0, (kinds, lengths, dists), nw
+        return enc, stream0, (kinds, lengths, dists)
 
-    enc, stream0, tokens, nw = compress_once(
+    enc, stream0, tokens = compress_once(
         TpuMatchJob(arr, stride=8, dev=dev))  # compile + warm
+    int(enc.n_words)
     # steady-state pipelined throughput, the way models/pipeline runs
-    # production chunks: the next chunk's matcher is submitted right
-    # after the current chunk's backend dispatch, overlapping device
-    # compute with the host greedy/CRC/token packaging.
-    DEPTH = 4
+    # production chunks: TWO matcher graphs stay queued ahead
+    # (pipeline's lookahead=1 creates jobs i+1 and i+2 during chunk i),
+    # so the device never idles while the host fetches/finalizes, and
+    # chunk i's rANS completion is awaited one iteration deferred (as
+    # production's pooled payload assembly does).  Every chunk's full
+    # device work completes inside the timed window.
+    DEPTH = 6
     times = []
     for _ in range(REPS):
         jobs = [TpuMatchJob(arr, stride=8, dev=dev)]
+        created = 1
+        prev_enc = None
         t0 = time.time()
         for i in range(DEPTH):
-            qn = (lambda: jobs.append(TpuMatchJob(
-                arr, stride=8, dev=dev))) if i + 1 < DEPTH else None
-            compress_once(jobs.pop(0), queue_next=qn)
+            while created < min(DEPTH, i + 3):
+                jobs.append(TpuMatchJob(arr, stride=8, dev=dev))
+                created += 1
+            enc_i, _, _ = compress_once(jobs.pop(0))
+            if prev_enc is not None:
+                int(prev_enc.n_words)  # chunk i-1 complete
+            prev_enc = enc_i
+        int(prev_enc.n_words)  # last chunk complete; payload in HBM
         times.append((time.time() - t0) / DEPTH)
     c_dt = sorted(times)[len(times) // 2]
     # wire size: rans payload header+table+states+words (assembled once,

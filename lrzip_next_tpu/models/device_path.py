@@ -111,6 +111,14 @@ class DeviceLiteralEncode:
         lit_dev = packed.astype(jnp.uint8)
         (self.freqs, self.states, self.words, self.n_words,
          self.t_len) = rans.encode_arrays(lit_dev, n_lit, ctx_bits)
+        # start the n_words D2H copy NOW: the pipeline queues the next
+        # chunk's matcher right after this dispatch, and a readback
+        # requested later would queue behind that whole graph (~86ms);
+        # pre-enqueued, it lands as soon as the encode finishes
+        try:
+            self.n_words.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def payload(self) -> Optional[bytes]:
         """Readback + wire assembly; None for an empty literal stream."""

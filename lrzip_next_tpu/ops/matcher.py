@@ -785,6 +785,81 @@ def _pack_selected16(ss, sl, sd, n_sel, n_raw, cov_w, fetch_cap: int):
     return jnp.concatenate([hdr, body32, exc_flat])
 
 
+@functools.partial(jax.jit, static_argnames=("fetch_cap",))
+def _pack_selected8(ss, sl, sd, n_sel, n_raw, cov_w, fetch_cap: int):
+    """8-byte/token packing: u16 start-delta, u16 len, ABSOLUTE i32
+    dist.  Long-range corpora make dist-deltas jump by whole segment
+    strides (measured: 59K of 150K tokens past +-15 bits at 64MB), so
+    the 6-byte format's exceptions channel overflows and every chunk
+    pays a synchronous 12B/token refetch queued behind the lookahead
+    graphs (~250ms).  Absolute dists cannot overflow; only rare wide
+    start-deltas/lens ride the exceptions channel.
+
+    Layout (int32 words): [n_sel, n_raw, cov_v, cov_w, n_exc, 0],
+    fetch_cap words of bitcast (ds16 | l16) columns, fetch_cap dist
+    words, then 3*_EXC_CAP exception words (idx, start, len)."""
+    fc = fetch_cap
+    live = jax.lax.iota(jnp.int32, fc) < n_sel
+    s = jnp.where(live, ss[:fc], 0)
+    l = jnp.where(live, sl[:fc], 0)
+    d = jnp.where(live, sd[:fc], 0)
+    ds = jnp.concatenate([s[:1], jnp.diff(s)])
+    exc = live & ((ds > 65535) | (l > 65535))
+    n_exc = jnp.sum(exc.astype(jnp.int32))
+    ds16 = jnp.where(exc, 0, ds).astype(jnp.uint16)
+    l16 = jnp.where(exc, 0, l).astype(jnp.uint16)
+    body = jnp.concatenate([ds16, l16])
+    body32 = jax.lax.bitcast_convert_type(
+        body.reshape(-1, 2), jnp.int32).reshape(-1)
+    idx = jax.lax.iota(jnp.int32, fc)
+    key = jnp.where(exc, idx, _I32_BIG)
+    _, ei, es, el = jax.lax.sort((key, idx, s, l), num_keys=1)
+    ec = min(fc, _EXC_CAP)
+    exc_flat = jnp.concatenate([ei[:ec], es[:ec], el[:ec]])
+    cov_v = jnp.sum(jnp.where(
+        jax.lax.iota(jnp.int32, sl.shape[0]) < n_sel, sl, 0))
+    hdr = jnp.stack([n_sel.astype(jnp.int32), n_raw.astype(jnp.int32),
+                     cov_v.astype(jnp.int32), cov_w.astype(jnp.int32),
+                     n_exc, jnp.int32(0)])
+    return jnp.concatenate([hdr, body32, d, exc_flat])
+
+
+def _unpack_selected8(flat: np.ndarray, fetch_cap: int):
+    """Host half of _pack_selected8 -> (n_sel, n_raw, covs, starts,
+    lens, dists) or None when the exceptions channel overflowed."""
+    fc = fetch_cap
+    k = int(flat[0])
+    kraw = int(flat[1])
+    covs = (int(flat[2]), int(flat[3]))
+    n_exc = int(flat[4])
+    ec = min(fc, _EXC_CAP)
+    if n_exc > ec:
+        return None
+    kk = min(k, fc)
+    body = flat[6:6 + fc].view(np.uint16)
+    ds = body[:fc][:kk].astype(np.int64)
+    ln = body[fc:2 * fc][:kk].astype(np.int64)
+    d = flat[6 + fc:6 + fc + kk].astype(np.int64)
+    off = 6 + 2 * fc
+    ei = flat[off:off + n_exc].astype(np.int64)
+    es = flat[off + ec:off + ec + n_exc].astype(np.int64)
+    el = flat[off + 2 * ec:off + 2 * ec + n_exc].astype(np.int64)
+    s = np.cumsum(ds)
+    if n_exc:
+        keep = ei < kk
+        ei, es, el = ei[keep], es[keep], el[keep]
+        ln[ei] = el
+        corr_s = np.zeros(kk + 1, np.int64)
+        run_s = 0
+        for j in range(len(ei)):
+            i = int(ei[j])
+            ds_j = es[j] - (s[i] + run_s)
+            corr_s[i] += ds_j
+            run_s += ds_j
+        s = s + np.cumsum(corr_s[:kk])
+    return k, kraw, covs, s, ln, d
+
+
 def _unpack_selected16(flat: np.ndarray, fetch_cap: int):
     """Host half of _pack_selected16 -> (n_sel, n_raw, covs, starts,
     lens, dists) or None when the exceptions channel overflowed."""
@@ -831,22 +906,40 @@ def _unpack_selected16(flat: np.ndarray, fetch_cap: int):
 
 
 def _fetch_selected_counted(ss, sl, sd, n_sel, n_raw, cov_w,
-                            fetch_cap: int, packed=None):
+                            fetch_cap: int, packed=None, fmt: int = 6,
+                            fmt_out: list | None = None):
     """One-transfer fetch -> (n_sel, n_raw, cov_v, cov_w, starts,
-    lens, dists).  Uses the 6-byte/token 16-bit packing; a chunk whose
-    exceptions overflow refetches through the plain int32 packer.
-    ``packed`` accepts a pre-dispatched _pack_selected16 array whose
-    D2H copy was started with copy_to_host_async() - the transfer then
-    rides under later device work instead of blocking the collect
-    (measured: a 2MB readback drops ~70ms -> ~0.3ms when prefetched)."""
+    lens, dists).  ``fmt`` picks the wire packing: 6 B/token (16-bit
+    deltas) or 8 B/token (absolute dists - long-range corpora overflow
+    the 6B format's dist-delta exceptions on nearly every chunk); a
+    chunk that overflows the requested format cascades 6 -> 8 -> 12
+    (plain int32).  ``fmt_out`` (a list) receives the format that
+    succeeded, so the caller can pre-dispatch the right packer for the
+    next chunk.  ``packed`` accepts a pre-dispatched pack of the
+    requested format whose D2H copy was started with
+    copy_to_host_async() - the transfer then rides under later device
+    work instead of blocking the collect (measured: a 2MB readback
+    drops ~70ms -> ~0.3ms when prefetched)."""
     fc = fetch_cap
     if packed is None:
-        packed = _pack_selected16(ss, sl, sd, n_sel, n_raw, cov_w, fc)
+        pack_fn = _pack_selected16 if fmt == 6 else _pack_selected8
+        packed = pack_fn(ss, sl, sd, n_sel, n_raw, cov_w, fc)
     flat = np.asarray(jax.device_get(packed))
-    res = _unpack_selected16(flat, fc)
+    res = (_unpack_selected16 if fmt == 6 else _unpack_selected8)(
+        flat, fc)
+    if res is None and fmt == 6:
+        # dist-delta exceptions overflowed: absolute-dist format
+        fmt = 8
+        flat = np.asarray(jax.device_get(
+            _pack_selected8(ss, sl, sd, n_sel, n_raw, cov_w, fc)))
+        res = _unpack_selected8(flat, fc)
     if res is not None:
+        if fmt_out is not None:
+            fmt_out.append(fmt)
         return res
     # exceptions channel overflow: plain int32 refetch for this chunk
+    if fmt_out is not None:
+        fmt_out.append(12)
     flat = np.asarray(jax.device_get(
         _pack_selected(ss, sl, sd, n_sel, n_raw, cov_w, fc)))
     k = int(flat[0])
@@ -1073,6 +1166,11 @@ def _bucket_size(n: int) -> int:
 # depends on it).
 _CAP_HINTS: dict = {}
 _SEL_HINTS: dict = {}
+# wire format of the selected-token readback per chunk shape: 6 B/token
+# (16-bit deltas) until a chunk's dist-deltas overflow, then 8 B/token
+# (absolute dists).  Downgrades again when a chunk's dist-deltas would
+# comfortably fit 16 bits (collect checks the fetched dists).
+_FMT_HINTS: dict = {}
 
 
 def _update_hint(hints: dict, key, k: int) -> None:
@@ -1158,8 +1256,13 @@ class TpuMatchJob:
                 self.fetch_cap = _fetch_bucket(
                     shint if shint else 8192, self.cap)
                 # dispatch the packed readback NOW and start its D2H
-                # copy: by collect() time the bytes are host-side
-                self._packed = _pack_selected16(
+                # copy: by collect() time the bytes are host-side.
+                # The wire format follows the per-shape hint (6 B/token
+                # unless dist-deltas overflowed on a previous chunk).
+                self._fmt = _FMT_HINTS.get(hkey, 6)
+                pack_fn = (_pack_selected16 if self._fmt == 6
+                           else _pack_selected8)
+                self._packed = pack_fn(
                     *self.selected, n_raw, self.cov_w, self.fetch_cap)
                 try:
                     self._packed.copy_to_host_async()
@@ -1228,11 +1331,15 @@ class TpuMatchJob:
             ss, sl, sd, n_sel = self.selected
             _, n_raw = self.compacted
             packed = getattr(self, "_packed", None)
+            fmt = getattr(self, "_fmt", 6)
             for _ in range(4):
+                fo: list = []
                 k, kraw, covs, s, ln, d = _fetch_selected_counted(
                     ss, sl, sd, n_sel, n_raw, self.cov_w,
-                    self.fetch_cap, packed=packed)
+                    self.fetch_cap, packed=packed, fmt=fmt, fmt_out=fo)
                 packed = None  # refetches repack at the new cap
+                if fo and fo[0] != 12:
+                    fmt = fo[0]
                 if kraw > self.cap:
                     # record-cap overflow: selection saw truncated
                     # records; redo compaction + selection at a
@@ -1254,6 +1361,17 @@ class TpuMatchJob:
             k = min(k, self.fetch_cap)
             _update_hint(_CAP_HINTS, self.hkey, kraw)
             _update_hint(_SEL_HINTS, self.hkey, k)
+            # steer the next same-shape chunk's pre-dispatched packing:
+            # upgrade to absolute dists when 16-bit deltas overflowed;
+            # downgrade when the fetched dists show deltas would fit
+            # comfortably (hysteresis at half the exceptions budget)
+            if fmt == 8 and k:
+                dd = np.diff(np.concatenate([d[:1], d]))
+                wide = int(((dd > 32766) | (dd < -32766)).sum())
+                _FMT_HINTS[self.hkey] = 6 if wide <= _EXC_CAP // 2 \
+                    else 8
+            else:
+                _FMT_HINTS[self.hkey] = fmt
             cov_v, cov_w = covs
             if cov_w - cov_v > max(cov_w // 4, self.n // 256):
                 # the coarse (gap_w) chains would cover substantially

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compact_pallas import T as TILE, _R, _L, _compact_tile
+from .compact_pallas import _R, _L, _compact_tile
 
 
 def _pack_kernel(flag_ref, val_ref, out_ref):
@@ -54,10 +54,12 @@ def pack_plane_pallas(plane: jnp.ndarray, cap: int,
     """Compact a fused word|flag<<16 int32 plane (flat row-major order)
     into a dense cap-sized u16 stream.  Returns (packed, n_words).
 
-    Tiles are 4x the compaction default (512 x 128): grid-step overhead
+    Tiles are 8x the compaction default (1024 x 128): grid-step overhead
     and the placement scan's per-step dynamic-update-slices dominated
-    pack time at 128-row tiles (33ms -> ~10ms per 24M-word plane)."""
-    rr = 4 * _R
+    pack time at 128-row tiles (33ms -> ~10ms per 24M-word plane at
+    512 rows; 1024 halves the placement steps again).  The in-kernel
+    log-shift intermediates stay ~3MB - well inside VMEM."""
+    rr = 8 * _R
     tile = rr * _L
     m = plane.size
     mb = ((m + tile - 1) // tile) * tile
@@ -97,40 +99,42 @@ def pack_stream_pallas(words: jnp.ndarray, flags: jnp.ndarray, cap: int,
                        interpret: bool = False):
     """Compact flagged words (flat row-major order) into a dense
     ``cap``-sized u16 array.  Returns (packed, n_words)."""
+    rr = 8 * _R          # 1024-row tiles: fewer placement steps (the
+    tile = rr * _L       # per-step DUS overhead dominates at 128 rows)
     w = words.reshape(-1).astype(jnp.int32)
     e = flags.reshape(-1)
     m = w.shape[0]
-    mb = ((m + TILE - 1) // TILE) * TILE
+    mb = ((m + tile - 1) // tile) * tile
     pad = mb - m
-    nb = mb // TILE
-    e_t = jnp.pad(e, (0, pad)).astype(jnp.int8).reshape(nb, _R, _L)
-    w_t = jnp.pad(w, (0, pad)).reshape(nb, _R, _L)
+    nb = mb // tile
+    e_t = jnp.pad(e, (0, pad)).astype(jnp.int8).reshape(nb, rr, _L)
+    w_t = jnp.pad(w, (0, pad)).reshape(nb, rr, _L)
     counts = jnp.sum(e_t.astype(jnp.int32), axis=(1, 2))
     offs = jnp.cumsum(counts) - counts
     n_words = jnp.sum(counts)
 
-    spec = pl.BlockSpec((1, _R, _L), lambda b: (b, 0, 0),
+    spec = pl.BlockSpec((1, rr, _L), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     tiles = pl.pallas_call(
         _pack_kernel,
         grid=(nb,),
         in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((nb, _R, _L), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nb, rr, _L), jnp.int32),
         interpret=interpret,
     )(e_t, w_t)
-    tiles_flat = tiles.reshape(nb, TILE)
+    tiles_flat = tiles.reshape(nb, tile)
 
-    # ordered overlapping placement: tile b's TILE-wide window starts at
-    # offs[b]; later tiles overwrite this tile's garbage tail because
+    # ordered overlapping placement: tile b's window starts at offs[b];
+    # later tiles overwrite this tile's garbage tail because
     # offs[b+1] = offs[b] + counts[b] and the scan runs in order.
-    out0 = jnp.zeros((cap + TILE,), jnp.int32)
+    out0 = jnp.zeros((cap + tile,), jnp.int32)
 
     def place(buf, inp):
-        tile, off = inp
-        return jax.lax.dynamic_update_slice(buf, tile, (off,)), None
+        t, off = inp
+        return jax.lax.dynamic_update_slice(buf, t, (off,)), None
 
-    out, _ = jax.lax.scan(place, out0, (tiles_flat, offs))
+    out, _ = jax.lax.scan(place, out0, (tiles_flat, offs), unroll=8)
     # zero the tail past n_words (the last tile leaves garbage there),
     # so padding reads during decode stay deterministic
     idx = jax.lax.iota(jnp.int32, cap)

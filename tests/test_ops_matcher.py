@@ -396,3 +396,63 @@ def test_pack16_narrow_values_no_exceptions():
         jnp.asarray(ss), jnp.asarray(sl), jnp.asarray(sd),
         jnp.int32(k), jnp.int32(k), jnp.int32(0), fc)
     assert np.array_equal(s, starts) and np.array_equal(d, dists)
+
+
+def test_pack8_absolute_dists_roundtrip():
+    """The 8 B/token format (u16 deltas + absolute i32 dists) must
+    round-trip selections whose dist-deltas overflow 16 bits on nearly
+    every token (long-range corpora), with and without start/len
+    exceptions."""
+    import jax.numpy as jnp
+    from lrzip_next_tpu.ops import matcher as M
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        k = int(rng.integers(5, 400))
+        fc = 1024
+        wide = trial % 2  # alternate: u16-safe vs exception-heavy
+        gaps = rng.integers(0, 200_000 if wide else 1000, k)
+        lens = rng.integers(31, 150_000 if wide else 60_000, k)
+        starts = np.cumsum(gaps + lens) - lens
+        # dist-deltas jump by tens of MB: the 6B format overflows
+        dists = rng.integers(1, 1 << 26, k)
+        ss = np.full(fc, 0x7FFFFFF0, np.int32)
+        sl = np.zeros(fc, np.int32)
+        sd = np.zeros(fc, np.int32)
+        ss[:k] = starts; sl[:k] = lens; sd[:k] = dists
+        fo = []
+        k2, kraw, covs, s, ln, d = M._fetch_selected_counted(
+            jnp.asarray(ss), jnp.asarray(sl), jnp.asarray(sd),
+            jnp.int32(k), jnp.int32(k), jnp.int32(7), fc,
+            fmt=8, fmt_out=fo)
+        assert fo == [8]
+        assert k2 == k and kraw == k
+        assert covs == (int(lens.sum()), 7)
+        assert np.array_equal(s, starts)
+        assert np.array_equal(ln, lens)
+        assert np.array_equal(d, dists)
+
+
+def test_pack_fmt_cascade_6_to_8():
+    """A 6B-format fetch whose dist-delta exceptions overflow must
+    cascade to the 8B format (not the 12B int32 fallback) and report
+    the used format through fmt_out."""
+    import jax.numpy as jnp
+    from lrzip_next_tpu.ops import matcher as M
+    k = M._EXC_CAP + 512   # more wide dist-deltas than the 6B budget
+    fc = 4096
+    starts = np.cumsum(np.full(k, 100))
+    lens = np.full(k, 40)
+    dists = (np.arange(k) % 2) * 1_000_000 + 1  # |dd| >> 32766
+    ss = np.full(fc, 0x7FFFFFF0, np.int32)
+    sl = np.zeros(fc, np.int32)
+    sd = np.zeros(fc, np.int32)
+    ss[:k] = starts; sl[:k] = lens; sd[:k] = dists
+    fo = []
+    k2, kraw, covs, s, ln, d = M._fetch_selected_counted(
+        jnp.asarray(ss), jnp.asarray(sl), jnp.asarray(sd),
+        jnp.int32(k), jnp.int32(k), jnp.int32(0), fc,
+        fmt=6, fmt_out=fo)
+    assert fo == [8]
+    assert np.array_equal(s, starts)
+    assert np.array_equal(ln, lens)
+    assert np.array_equal(d, dists)
