@@ -502,9 +502,16 @@ WINDMA_S = 16
 
 
 def _make_kernel_small():
-    """128-column pass over the big kernel's output: each 1KB cell
-    initializes from the prior buffer (so cells without short
-    fragments copy through) and mask-merges its short fragments from
+    """128-column pass over the big kernel's output, TOUCHED CELLS
+    ONLY: the grid enumerates just the 1KB cells that contain short
+    fragments (a compact prefetched cell-index array drives the out
+    block index), and the output buffer ALIASES the prior buffer
+    (input_output_aliases) so untouched cells keep their content
+    without a pass-through copy.  Measured at 64MB: 20.7K of 65.5K
+    cells touched - the dense grid spent 2/3 of its steps on
+    copy-through inits.  Each touched cell still initializes from its
+    own rows of the prior buffer (reads only its own cell, so the
+    aliasing is hazard-free) and mask-merges its short fragments from
     8KB windows of the lead-padded literal plane (also viewed in
     128-column rows; byte offsets are layout-independent)."""
     import jax
@@ -512,13 +519,14 @@ def _make_kernel_small():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(cell0_ref, lo_ref, base_ref, meta_ref, lit_ref,
+    def kernel(lim_ref, cells_ref, lo_ref, base_ref, meta_ref, lit_ref,
                prior_ref, out_ref, scratch, init_s, sems, sem_i):
         j = pl.program_id(0)
+        ca = cells_ref[j]
         lo = lo_ref[j]
         hi = lo_ref[j + 1]
         r_init = pl.multiple_of(jnp.minimum(
-            64 + (cell0_ref[0] + j) * ROWS_S, cell0_ref[1]), 8)
+            64 + ca * ROWS_S, lim_ref[0]), 8)
         cp = pltpu.make_async_copy(
             prior_ref.at[pl.ds(r_init, ROWS_S), :], init_s, sem_i)
         cp.start()
@@ -566,19 +574,23 @@ def _make_kernel_small():
 
 
 @functools.lru_cache(maxsize=None)
-def _small_call(ncells: int, nf_b: int, nrows128: int, interpret: bool):
+def _small_call(ntouched: int, nf_b: int, nrows128: int, nprior: int,
+                interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(ncells,),
+        num_scalar_prefetch=5,
+        grid=(ntouched,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
+        # out block = the touched cell's own rows of the prior-shaped
+        # buffer (64-row lead = 8 blocks)
         out_specs=pl.BlockSpec((ROWS_S, 128),
-                               lambda j, *refs: (j, 0)),
+                               lambda j, lim, cells, *_:
+                               (8 + cells[j], 0)),
         scratch_shapes=[
             pltpu.VMEM((2, WINDMA_S, 128), jnp.int32),
             pltpu.VMEM((ROWS_S, 128), jnp.int32),
@@ -588,14 +600,17 @@ def _small_call(ncells: int, nf_b: int, nrows128: int, interpret: bool):
     )
 
     @jax.jit
-    def call(cell0_a, lo_a, base_a, meta_a, lit128, prior128):
+    def call(lim_a, cells_a, lo_a, base_a, meta_a, lit128, prior128):
+        # index 6 = prior128 (5 scalar-prefetch args + lit128 before
+        # it); aliasing donates its pages so unwritten (untouched)
+        # cells keep their bytes
         return pl.pallas_call(
             _make_kernel_small(),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ncells * ROWS_S, 128),
-                                           jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((nprior, 128), jnp.int32),
+            input_output_aliases={6: 0},
             interpret=interpret,
-        )(cell0_a, lo_a, base_a, meta_a, lit128, prior128)
+        )(lim_a, cells_a, lo_a, base_a, meta_a, lit128, prior128)
 
     return call
 
@@ -618,43 +633,49 @@ def _to128_fn(rows: int):
 def _small_pass(out32_flat, dst, src, length, lit32, out_len: int,
                 interpret: bool):
     """Merge short literal-sourced pieces into the big kernel's output
-    via the 128-column kernel.  Returns the updated (rows, 1024) int32
-    cell rows."""
+    via the touched-cells-only 128-column kernel.  Returns the updated
+    (rows, 1024) int32 cell rows."""
     jax, jnp = _jx()
     rows = int(out32_flat.shape[0])
     nrows_lit = int(lit32.shape[0])
     lit128 = lit32.reshape(nrows_lit * 8, 128)
-    prior128 = _to128_fn(rows)(out32_flat)
+    out128 = _to128_fn(rows)(out32_flat)
     ncells_s = -(-max(out_len, 1) // 1024)
-    out128 = None
+    rmax = (int(out128.shape[0]) - WINDMA_S) // 8 * 8
+    # grid-bucket padding cell: first trail cell past the output - its
+    # rows are zeros, so duplicate pad steps read and re-write zeros
+    ca_pad = ncells_s + 8
+    did = False
     for c0, nc, base, meta, lo in _plan_frags(
             dst, src, length, ncells_s, LEAD_ROWS, cell_bits=10):
+        lo = np.asarray(lo, np.int64)
+        touched = np.nonzero(np.diff(lo) > 0)[0]
+        nt = len(touched)
+        if nt == 0:
+            continue
+        cells_abs = (c0 + touched).astype(np.int32)
+        lo_c = np.append(lo[touched], lo[touched[-1] + 1])
         nf = len(base)
         nf_b = _bucket_pow2(max(nf, 1))
-        nc_b = _bucket_pow2(max(nc, 1), 64)
+        nt_b = _bucket_pow2(nt, 64)
         base_a = np.zeros(nf_b, np.int32)
         meta_a = np.zeros(nf_b, np.int32)
         base_a[:nf] = base
         meta_a[:nf] = meta
-        lo_a = np.full(nc_b + 1, nf, np.int32)
-        lo_a[:len(lo)] = lo
-        call = _small_call(nc_b, nf_b, int(lit128.shape[0]), interpret)
-        rmax = (int(prior128.shape[0]) - WINDMA_S) // 8 * 8
-        seg = call(jnp.asarray(np.array([c0, rmax], np.int32)),
-                   jnp.asarray(lo_a), jnp.asarray(base_a),
-                   jnp.asarray(meta_a), lit128, prior128)
-        if out128 is None and c0 == 0 and nc_b * ROWS_S >= rows * 8:
-            out128 = seg[:rows * 8]
-        else:
-            if out128 is None:
-                out128 = prior128[64:64 + rows * 8]
-            out128 = jnp.concatenate([
-                out128[:c0 * ROWS_S],
-                seg[:nc * ROWS_S],
-                out128[(c0 + nc) * ROWS_S:]], axis=0)
-    if out128 is None:
+        cells_a = np.full(nt_b, ca_pad, np.int32)
+        cells_a[:nt] = cells_abs
+        lo_a = np.full(nt_b + 1, lo_c[-1], np.int32)
+        lo_a[:nt + 1] = lo_c
+        call = _small_call(nt_b, nf_b, int(lit128.shape[0]),
+                           int(out128.shape[0]), interpret)
+        out128 = call(jnp.asarray(np.array([rmax], np.int32)),
+                      jnp.asarray(cells_a), jnp.asarray(lo_a),
+                      jnp.asarray(base_a), jnp.asarray(meta_a),
+                      lit128, out128)
+        did = True
+    if not did:
         return out32_flat
-    return out128.reshape(rows, 1024)
+    return out128[64:64 + rows * 8].reshape(rows, 1024)
 
 
 @functools.lru_cache(maxsize=None)

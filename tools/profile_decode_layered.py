@@ -65,7 +65,7 @@ def devtime(label, fn, sync):
 klanes = rans.pick_lanes(enc.n_lit)
 devtime("rans decode", lambda: rans.decode_arrays(
     enc.words[:].astype(jnp.int32), enc.states, enc.freqs,
-    enc.n_lit, 6, klanes, enc.t_len), lambda r: r[0][0, 0])
+    enc.n_lit, 6, klanes, enc.t_len), lambda r: r[0][0])
 plane, _xf = rans.decode_arrays(
     enc.words[:].astype(jnp.int32), enc.states, enc.freqs,
     enc.n_lit, 6, klanes, enc.t_len)
